@@ -1,0 +1,190 @@
+"""Throughput benchmark — prints ONE JSON line.
+
+Measures the flagship sequential model (SASRec, Amazon2014Beauty-shaped:
+12,101 items, maxlen 50, batch 256, D=64 — the reference's headline
+config, SASRec/configs/Amazon2014Beauty_550_LOU.yaml) in training
+examples/s on one chip: the full jitted step (fwd + bwd + adam update)
+with BCE loss.
+
+The reference publishes no throughput numbers (BASELINE.md), so
+`vs_baseline` is measured fresh against the same model/step implemented
+in PyTorch on this host's CPU (the only torch device available here —
+the reference's own hardware is CUDA, unavailable). Run with
+--no-torch-baseline to skip that comparison (vs_baseline = null).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+NUM_ITEMS = 12_101
+MAXLEN = 50
+BATCH = 256
+DIM = 64
+BLOCKS = 2
+
+
+def bench_jax(steps: int = 30, warmup: int = 5) -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from recboard_tpu.data import synthetic
+    from recboard_tpu.data.pipes import Size
+    from recboard_tpu.models.zoo import SASRec
+
+    ds = synthetic.synthetic_next_item(
+        root="/tmp/recboard_tpu_bench",
+        name="Bench_000_LOU",
+        num_users=512,
+        num_items=NUM_ITEMS,
+        avg_len=12.0,
+        seed=0,
+        kcore4user=1,
+        kcore4item=0,
+    )
+    model = SASRec(ds, maxlen=MAXLEN, embedding_dim=DIM, num_blocks=BLOCKS)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        model.ISeq: jnp.asarray(
+            rng.integers(1, NUM_ITEMS + 1, size=(BATCH, MAXLEN)), jnp.int32
+        ),
+        model.IPos: jnp.asarray(
+            rng.integers(0, NUM_ITEMS, size=(BATCH, MAXLEN)), jnp.int32
+        ),
+        model.INeg: jnp.asarray(
+            rng.integers(0, NUM_ITEMS, size=(BATCH, MAXLEN)), jnp.int32
+        ),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, batch
+    )["params"]
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, batch, rng):
+        def loss_fn(p):
+            loss, _ = model.apply(
+                {"params": p}, batch, method="fit", rngs={"dropout": rng}
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        up, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, up), opt, loss
+
+    key = jax.random.PRNGKey(0)
+    for i in range(warmup):
+        params, opt, loss = step(params, opt, batch, jax.random.fold_in(key, i))
+    loss.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(steps):
+        params, opt, loss = step(params, opt, batch, jax.random.fold_in(key, 100 + i))
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    return BATCH * steps / dt
+
+
+def bench_torch(steps: int = 8, warmup: int = 2) -> float:
+    """Reference-style SASRec step in PyTorch (CPU) for vs_baseline."""
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+
+    class FFN(nn.Module):
+        def __init__(self, d):
+            super().__init__()
+            self.c1 = nn.Conv1d(d, d, 1)
+            self.c2 = nn.Conv1d(d, d, 1)
+
+        def forward(self, x):
+            return x + self.c2(torch.relu(self.c1(x.transpose(-1, -2)))).transpose(-1, -2)
+
+    class Model(nn.Module):
+        def __init__(self):
+            super().__init__()
+            d = DIM
+            self.emb = nn.Embedding(NUM_ITEMS + 1, d, padding_idx=0)
+            self.pos = nn.Embedding(MAXLEN, d)
+            self.ln_q = nn.ModuleList([nn.LayerNorm(d) for _ in range(BLOCKS)])
+            self.attn = nn.ModuleList(
+                [nn.MultiheadAttention(d, 1, batch_first=True) for _ in range(BLOCKS)]
+            )
+            self.ln_f = nn.ModuleList([nn.LayerNorm(d) for _ in range(BLOCKS)])
+            self.ffn = nn.ModuleList([FFN(d) for _ in range(BLOCKS)])
+            self.last = nn.LayerNorm(d)
+            mask = torch.ones(MAXLEN, MAXLEN, dtype=torch.bool).triu(1)
+            self.register_buffer("mask", mask)
+
+        def forward(self, seqs, pos, neg):
+            x = self.emb(seqs) * DIM**0.5 + self.pos.weight[None]
+            for i in range(BLOCKS):
+                q = self.ln_q[i](x)
+                x = self.attn[i](q, x, x, attn_mask=self.mask, need_weights=False)[0] + x
+                x = self.ffn[i](self.ln_f[i](x))
+            u = self.last(x)
+            table = self.emb.weight[1:]
+            pl = torch.einsum("bld,bld->bl", u, table[pos])
+            nl = torch.einsum("bld,bld->bl", u, table[neg])
+            labels_p = torch.ones_like(pl)
+            labels_n = torch.zeros_like(nl)
+            bce = nn.functional.binary_cross_entropy_with_logits
+            return bce(pl, labels_p) + bce(nl, labels_n)
+
+    model = Model()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    g = torch.Generator().manual_seed(0)
+    seqs = torch.randint(1, NUM_ITEMS + 1, (BATCH, MAXLEN), generator=g)
+    pos = torch.randint(0, NUM_ITEMS, (BATCH, MAXLEN), generator=g)
+    neg = torch.randint(0, NUM_ITEMS, (BATCH, MAXLEN), generator=g)
+
+    def step():
+        opt.zero_grad()
+        loss = model(seqs, pos, neg)
+        loss.backward()
+        opt.step()
+
+    for _ in range(warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    dt = time.perf_counter() - t0
+    return BATCH * steps / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--no-torch-baseline", action="store_true")
+    args = ap.parse_args()
+
+    value = bench_jax(steps=args.steps)
+    vs = None
+    if not args.no_torch_baseline:
+        try:
+            torch_eps = bench_torch()
+            vs = value / torch_eps
+        except Exception:
+            vs = None
+    print(
+        json.dumps(
+            {
+                "metric": "sasrec_train_examples_per_s_per_chip",
+                "value": round(value, 1),
+                "unit": "examples/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,742 @@
+"""Coach — the training loop / evaluation / persistence engine.
+
+freerec parity (SURVEY.md §2.5, lifecycle shape proven by the faithful
+override in ETEGRec/train_etegrec.py:625-652):
+
+    fit(): resume() → per epoch: train(epoch) → save_checkpoint per
+    CHECKPOINT_FREQ → valid/test per eval_freq (may raise
+    EarlyStopError on which4best stalling) → save_last() → load best →
+    test → summary() → eval at best → easy_record_best() → results.
+
+Evaluation follows Coach.evaluate's base behavior (mirrored at
+UniSRec/main.py:400-447): reset_ranking_buffers → per batch
+`model(data, ranking="full"|"pool")`, full ranking masks seen items to
+-1e23 unless `retain_seen`, targets from IUnseen, metric sink
+`monitor(..., pool=["HITRATE", "PRECISION", "RECALL", "NDCG", "MRR"])`.
+
+TPU-native engine underneath:
+* the train step is one jitted, donated function (grads + optax update
+  + metrics in a single XLA program); batches stream through a
+  background prefetch thread and land sharded over the `data` mesh axis;
+* evaluation densifies ragged seen/unseen lists into padded id arrays
+  (bucketed to limit recompiles), builds the seen mask by on-device
+  scatter (OOB indices dropped), and computes all rank metrics from one
+  top-K pass (launcher/metrics.py);
+* checkpointing serializes numpy-ified pytrees; rank-0-only writes with
+  barriers mirror freerec.ddp discipline (E4SRec/main.py:224-258).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import utils
+from ..data.fields import Field
+from ..data.pipes import Size
+from ..data.tags import LABEL, SEEN, TaskTag, UNSEEN
+from ..parallel import dist, mesh as mesh_lib
+from . import metrics as metrics_lib
+
+__all__ = ["Coach", "EarlyStopError", "TrainState"]
+
+
+class EarlyStopError(Exception):
+    """Raised by evaluate() when which4best stalls for
+    early_stop_patience evaluations (freerec.launcher.EarlyStopError)."""
+
+
+class TrainState:
+    """Minimal functional train state (params, opt_state, step)."""
+
+    def __init__(self, params, opt_state, step=0):
+        self.params = params
+        self.opt_state = opt_state
+        self.step = step
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, _, leaves):
+        return cls(*leaves)
+
+
+jax.tree_util.register_pytree_node_class(TrainState)
+
+
+def _is_array(v) -> bool:
+    return isinstance(v, (np.ndarray, jax.Array))
+
+
+def _bucket(n: int, base: int = 16) -> int:
+    """Next power-of-two-ish bucket ≥ n to bound recompiles."""
+    out = base
+    while out < n:
+        out *= 2
+    return out
+
+
+class Coach:
+    """Universal trainer. Constructor takes **kwargs (UniSRec passes
+    `datasets=` instead of `dataset=`, UniSRec/main.py:469)."""
+
+    def __init__(
+        self,
+        dataset=None,
+        trainpipe=None,
+        validpipe=None,
+        testpipe=None,
+        model=None,
+        cfg=None,
+        **kwargs,
+    ):
+        self.dataset = dataset
+        self.trainpipe = trainpipe
+        self.validpipe = validpipe
+        self.testpipe = testpipe
+        self.model = model
+        self.cfg = cfg
+        for key, value in kwargs.items():
+            setattr(self, key, value)
+
+        self.mesh = mesh_lib.make_mesh(int(cfg.get("num_model_shards", 1)))
+        self.remove_seen = not bool(cfg.get("retain_seen", False))
+        self.ranking = cfg.get("ranking", "full")
+
+        # monitor sink state (SURVEY.md §5.5)
+        self._meters: Dict[str, Dict[str, utils.AverageMeter]] = {}
+        self.history: Dict[str, List[Dict[str, float]]] = {
+            "train": [],
+            "valid": [],
+            "test": [],
+        }
+        self._registered: Dict[str, Callable] = {}
+        self._best_casters: Dict[str, Callable] = {}
+
+        # early stopping state (ETEGRec/train_etegrec.py:576-582)
+        self.which4best = str(cfg.get("which4best", "NDCG@10"))
+        base, k = metrics_lib.parse_monitor(self.which4best)
+        self._best_key = metrics_lib.fmt_metric(base, k)
+        self._best_caster = min if base in ("LOSS", "LOGLOSS") else max
+        self._best: Optional[float] = None
+        self._best_epoch = -1
+        self._stopping_steps = 0
+        self._early_stop_patience = int(cfg.get("early_stop_patience", 1e9) or 1e9)
+
+        self.state: Optional[TrainState] = None
+        self._rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+        self._jit_cache: Dict[Any, Callable] = {}
+        self.start_epoch = 0
+        self._wanted = self._parse_monitors(cfg.get("monitors", []))
+
+        self.set_optimizer()
+        self.set_lr_scheduler()
+        self.set_other()
+
+    # ------------------------------------------------------------- hooks
+    def set_optimizer(self) -> None:
+        """Default optimizers sgd/adam/adamw with torch-matching
+        weight-decay placement (LightGCN/main.py:131-154)."""
+        cfg = self.cfg
+        lr = self.lr_schedule if getattr(self, "lr_schedule", None) else cfg.lr
+        name = str(cfg.get("optimizer", "adam")).lower()
+        wd = float(cfg.get("weight_decay", 0.0) or 0.0)
+        b1 = float(cfg.get("optim_first_moment_decay", 0.9))
+        b2 = float(cfg.get("optim_second_moment_decay", 0.999))
+        chain = []
+        if name == "sgd":
+            if wd:
+                chain.append(optax.add_decayed_weights(wd))
+            mom = b1 if b1 else None
+            chain.append(
+                optax.sgd(lr, momentum=mom, nesterov=bool(cfg.get("nesterov", False)))
+            )
+        elif name == "adam":
+            # torch Adam couples wd into the gradient before the moments
+            if wd:
+                chain.append(optax.add_decayed_weights(wd))
+            chain.append(optax.adam(lr, b1=b1, b2=b2))
+        elif name == "adamw":
+            chain.append(optax.adamw(lr, b1=b1, b2=b2, weight_decay=wd))
+        else:
+            raise ValueError(f"unknown optimizer {name!r}")
+        self.optimizer = optax.chain(*chain)
+
+    def set_lr_scheduler(self) -> None:
+        """Maps a cfg.lr_scheduler dict onto an optax schedule; override
+        for custom schedules (DeepFM/main.py:251-254)."""
+        spec = self.cfg.get("lr_scheduler", None)
+        self.lr_schedule = None
+        if not spec:
+            return
+        kind = str(spec.get("which", spec.get("name", ""))).lower()
+        lr = float(self.cfg.lr)
+        if kind in ("cosine", "cosineannealing"):
+            steps = int(spec.get("T_max", self.cfg.epochs)) * max(
+                1, int(spec.get("steps_per_epoch", 1))
+            )
+            self.lr_schedule = optax.cosine_decay_schedule(lr, steps)
+        elif kind in ("step", "steplr"):
+            step = int(spec.get("step_size", 10))
+            gamma = float(spec.get("gamma", 0.1))
+            self.lr_schedule = optax.exponential_decay(
+                lr, transition_steps=step, decay_rate=gamma, staircase=True
+            )
+        elif kind in ("warmup_cosine", "warmupcosine"):
+            warm = int(spec.get("warmup_steps", 100))
+            total = int(spec.get("total_steps", 10000))
+            self.lr_schedule = optax.warmup_cosine_decay_schedule(
+                0.0, lr, warm, total
+            )
+        if self.lr_schedule is not None:
+            self.set_optimizer()
+
+    def set_other(self) -> None:
+        """Custom metrics/state hook (TIGER/train_rqvae.py:224-230)."""
+
+    # ------------------------------------------------------- rank helpers
+    def get_res_sys_arch(self):
+        """DDP-unwrap analogue — the model itself (E4SRec/main.py:228)."""
+        return self.model
+
+    def dict_to_device(self, data: Dict[Field, Any]) -> Dict[Field, Any]:
+        arrays = {
+            f: v for f, v in data.items() if _is_array(v) and f != Size
+        }
+        put = jax.device_put(arrays, mesh_lib.data_sharding(self.mesh))
+        out = dict(data)
+        out.update(put)
+        return out
+
+    # ----------------------------------------------------------- monitor
+    def _parse_monitors(self, names: Iterable[str]) -> List[Tuple[str, int]]:
+        return [metrics_lib.parse_monitor(n) for n in names]
+
+    def monitor(
+        self, *values, n: int = 1, reduction: str = "mean", mode: str = "train",
+        pool: Optional[List[str]] = None,
+    ) -> None:
+        """Metric sink (`monitor(loss, n=B, mode="train", pool=["LOSS"])`
+        — SASRec/main.py:252-258)."""
+        pool = pool or []
+        meters = self._meters.setdefault(mode, {})
+        for name, value in zip(pool, values):
+            base, k = metrics_lib.parse_monitor(name)
+            key = metrics_lib.fmt_metric(base, k)
+            meter = meters.setdefault(key, utils.AverageMeter(key))
+            if reduction == "mean":
+                meter.update(float(value), n)
+            else:
+                meter.update(float(value), 1)
+
+    def register_metric(
+        self, name: str, fn: Optional[Callable] = None, best_caster=max
+    ) -> None:
+        base, k = metrics_lib.parse_monitor(name)
+        key = metrics_lib.fmt_metric(base, k)
+        self._registered[key] = fn or (lambda x: x)
+        self._best_casters[key] = best_caster
+
+    def _flush(self, mode: str, epoch: int) -> Dict[str, float]:
+        meters = self._meters.pop(mode, {})
+        summary = {name: meter.avg for name, meter in meters.items()}
+        if summary:
+            summary["epoch"] = epoch
+            self.history[mode].append(summary)
+            pretty = "  ".join(
+                f"{k}: {v:.5f}" for k, v in summary.items() if k != "epoch"
+            )
+            utils.infoLogger(f"[Coach] >>> [{mode:>5}] epoch {epoch:<4d} {pretty}")
+        return summary
+
+    # ------------------------------------------------------ train engine
+    def _init_state(self, batch: Dict[Field, Any]) -> None:
+        if self.state is not None:
+            return
+        self._rng, init_rng, drop_rng = jax.random.split(self._rng, 3)
+        arrays = {
+            f: jnp.asarray(v)
+            for f, v in batch.items()
+            if _is_array(v) and f != Size
+        }
+        variables = self.model.init(
+            {"params": init_rng, "dropout": drop_rng, "sampling": drop_rng}, arrays
+        )
+        params = variables["params"]
+        rules = self.model.partition_rules()
+        specs = mesh_lib.match_partition_rules(rules, params)
+        if int(self.cfg.get("num_model_shards", 1)) > 1:
+            params = mesh_lib.shard_params(self.mesh, params, specs)
+        opt_state = self.optimizer.init(params)
+        self.state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32))
+        n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
+        utils.infoLogger(f"[Coach] >>> model initialized: {n_params:,} params")
+
+    def loss_of(self, params, batch, rng):
+        """Override point: scalar loss + log dict for one batch."""
+        loss, logs = self.model.apply(
+            {"params": params},
+            batch,
+            method="fit",
+            rngs={"dropout": rng, "sampling": jax.random.fold_in(rng, 1)},
+        )
+        return loss, logs
+
+    def _make_train_step(self):
+        accum = max(1, int(self.cfg.get("gradient_accumulation_steps", 1)))
+
+        def step(state: TrainState, batch, rng):
+            def loss_fn(params):
+                return self.loss_of(params, batch, rng)
+
+            if accum == 1:
+                (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params
+                )
+            else:
+                # microbatch scan over the leading axis split
+                def micro(carry, mb):
+                    def fn(params):
+                        return self.loss_of(params, mb, rng)
+
+                    (l, lg), g = jax.value_and_grad(fn, has_aux=True)(state.params)
+                    grads, loss_sum = carry
+                    return (
+                        jax.tree.map(jnp.add, grads, g),
+                        loss_sum + l,
+                    ), lg
+
+                split = jax.tree.map(
+                    lambda x: x.reshape(accum, x.shape[0] // accum, *x.shape[1:]),
+                    batch,
+                )
+                zeros = jax.tree.map(jnp.zeros_like, state.params)
+                (grads, loss), logs = jax.lax.scan(micro, (zeros, 0.0), split)
+                grads = jax.tree.map(lambda g: g / accum, grads)
+                loss = loss / accum
+                logs = jax.tree.map(lambda x: x.mean(), logs)
+
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss, logs
+
+        return jax.jit(step, donate_argnums=0)
+
+    @property
+    def dataloader(self):
+        return self._active_pipe
+
+    def train(self, epoch: int) -> Dict[str, float]:
+        self.trainpipe.set_seed(int(self.cfg.seed))
+        self.trainpipe.set_epoch(epoch)
+        self._active_pipe = self.trainpipe
+        self.train_per_epoch(epoch)
+        if self.state is None:
+            raise RuntimeError(
+                "trainpipe produced no batches — check the dataset/pipe chain"
+            )
+        return self._flush("train", epoch)
+
+    def train_per_epoch(self, epoch: int) -> None:
+        """Default hot loop; per-model Coaches may override
+        (reference requires the override — ours supplies a default)."""
+        if not hasattr(self, "_train_step_fn"):
+            self._train_step_fn = None
+        for data in self.dataloader:
+            n = int(data.get(Size, 1))
+            batch = {
+                f: jnp.asarray(v)
+                for f, v in data.items()
+                if _is_array(v) and f != Size
+            }
+            self._init_state(batch)
+            if self._train_step_fn is None:
+                self._train_step_fn = self._make_train_step()
+            self._rng, rng = jax.random.split(self._rng)
+            self.state, loss, logs = self._train_step_fn(self.state, batch, rng)
+            self.monitor(
+                float(loss), n=n, reduction="mean", mode="train", pool=["LOSS"]
+            )
+
+    # ------------------------------------------------------- eval engine
+    def _densify_eval_batch(self, data: Dict[Field, Any]):
+        """Ragged ISeen/IUnseen tuples → padded id arrays (+ row mask);
+        pads eval rows so every batch has the bucketed batch size."""
+        model = self.get_res_sys_arch()
+        ISeen, IUnseen = model.ISeen, model.IUnseen
+        rows = data.get(IUnseen)
+        B = int(data.get(Size, len(rows) if rows is not None else 0))
+
+        def pad_ragged(values, fill, bucketed_len=None):
+            if isinstance(values, np.ndarray):
+                arr = values if values.ndim > 1 else values[:, None]
+            else:
+                maxlen = max((len(v) for v in values), default=1) or 1
+                maxlen = bucketed_len or _bucket(maxlen)
+                arr = np.full((len(values), maxlen), fill, dtype=np.int64)
+                for i, v in enumerate(values):
+                    if len(v):
+                        arr[i, : len(v)] = v
+            return arr
+
+        seen = data.get(ISeen)
+        unseen = data.get(IUnseen)
+        out: Dict[str, Any] = {}
+        N = model.Item.count
+        out["seen_ids"] = (
+            pad_ragged(seen, fill=N) if seen is not None else None
+        )  # fill=N → dropped by scatter
+        if unseen is not None:
+            if self.ranking == "pool":
+                # candidate ids for pool scoring; target is column 0
+                out["candidates"] = pad_ragged(unseen, fill=0)
+                out["target_ids"] = np.zeros((B, 1), dtype=np.int64)
+            else:
+                out["target_ids"] = pad_ragged(unseen, fill=-1)
+
+        # model inputs: rectangular fields only
+        batch = {
+            f: v for f, v in data.items() if _is_array(v) and f != Size
+        }
+        if self.ranking == "pool" and "candidates" in out:
+            batch[IUnseen] = out["candidates"]
+        # pad all arrays to a bucketed batch size
+        Bb = _bucket(B, base=32)
+        valid_rows = np.zeros(Bb, dtype=np.float32)
+        valid_rows[:B] = 1.0
+
+        def pad_rows(arr):
+            arr = np.asarray(arr)
+            if arr.shape[0] == Bb:
+                return arr
+            reps = np.repeat(arr[:1], Bb - arr.shape[0], axis=0)
+            return np.concatenate([arr, reps], axis=0)
+
+        batch = {f: pad_rows(v) for f, v in batch.items()}
+        for key in ("seen_ids", "target_ids"):
+            if out.get(key) is not None:
+                out[key] = pad_rows(out[key])
+        return batch, out, valid_rows, B
+
+    def _eval_step_fn(self, ranking: str):
+        key = ("eval", ranking, self.remove_seen)
+        if key not in self._jit_cache:
+            model = self.model
+            wanted = tuple(
+                (b, k) for b, k in self._wanted if b in metrics_lib.RANK_METRICS
+            )
+
+            def step(params, buffers, batch, seen_ids, target_ids, valid_rows):
+                method = (
+                    "recommend_from_full" if ranking == "full" else "recommend_from_pool"
+                )
+                scores = model.apply(
+                    {"params": params}, batch, buffers, method=method
+                )
+                if ranking == "full" and self.remove_seen and seen_ids is not None:
+                    B = scores.shape[0]
+                    rows = jnp.arange(B)[:, None]
+                    scores = scores.at[rows, seen_ids].set(
+                        -1e23, mode="drop"
+                    )
+                sums = metrics_lib.rank_metrics(
+                    scores, target_ids, wanted, valid_rows
+                )
+                return sums
+
+            self._jit_cache[key] = jax.jit(step)
+        return self._jit_cache[key]
+
+    def evaluate(self, epoch: int, step: int = -1, mode: str = "valid") -> None:
+        model = self.get_res_sys_arch()
+        if self.dataset is not None and self.dataset.tasktag == TaskTag.PREDICTION:
+            return self._evaluate_prediction(epoch, mode)
+        pipe = self.validpipe if mode == "valid" else self.testpipe
+        if pipe is None:
+            return
+        pipe.set_seed(int(self.cfg.seed))
+        buffers = self.model.apply(
+            {"params": self.state.params}, method="reset_ranking_buffers"
+        )
+        fn = self._eval_step_fn(self.ranking)
+        pool = [
+            metrics_lib.fmt_metric(b, k)
+            for b, k in self._wanted
+            if b in metrics_lib.RANK_METRICS
+        ]
+        for data in pipe:
+            batch, aux, valid_rows, B = self._densify_eval_batch(data)
+            batch = {f: jnp.asarray(v) for f, v in batch.items()}
+            sums = fn(
+                self.state.params,
+                buffers,
+                batch,
+                jnp.asarray(aux["seen_ids"]) if aux.get("seen_ids") is not None else None,
+                jnp.asarray(aux["target_ids"]),
+                jnp.asarray(valid_rows),
+            )
+            sums = {k: float(v) for k, v in sums.items()}
+            values = [sums[name] / max(B, 1) for name in pool if name in sums]
+            self.monitor(
+                *values, n=B, reduction="mean", mode=mode, pool=pool
+            )
+
+    def _evaluate_prediction(self, epoch: int, mode: str) -> None:
+        """CTR eval: accumulate sigmoid scores + labels; global AUC and
+        LOGLOSS (DeepFM monitors)."""
+        pipe = self.validpipe if mode == "valid" else self.testpipe
+        if pipe is None:
+            return
+        model = self.get_res_sys_arch()
+        Label = model.Label
+        key = ("pred_eval",)
+        if key not in self._jit_cache:
+            def step(params, batch):
+                return self.model.apply(
+                    {"params": params}, batch, None, method="recommend_from_pool"
+                )
+
+            self._jit_cache[key] = jax.jit(step)
+        preds, labels = [], []
+        for data in pipe:
+            batch = {
+                f: jnp.asarray(v)
+                for f, v in data.items()
+                if _is_array(v) and f != Size
+            }
+            out = self._jit_cache[key](self.state.params, batch)
+            preds.append(np.asarray(out).reshape(-1))
+            labels.append(np.asarray(data[Label]).reshape(-1))
+        preds = np.concatenate(preds)
+        labels = np.concatenate(labels)
+        wanted_names = [metrics_lib.fmt_metric(b, k) for b, k in self._wanted]
+        values, pool = [], []
+        if "AUC" in wanted_names:
+            values.append(metrics_lib.auc(labels, preds))
+            pool.append("AUC")
+        if "LOGLOSS" in wanted_names:
+            values.append(metrics_lib.log_loss(labels, preds))
+            pool.append("LOGLOSS")
+        self.monitor(*values, n=len(preds), reduction="mean", mode=mode, pool=pool)
+
+    # -------------------------------------------------------- early stop
+    def _check_best(self, summary: Dict[str, float], epoch: int) -> None:
+        value = summary.get(self._best_key)
+        if value is None:
+            return
+        improved = self._best is None or (
+            self._best_caster(value, self._best) == value and value != self._best
+        )
+        if improved:
+            self._best = value
+            self._best_epoch = epoch
+            self._stopping_steps = 0
+            self.save_best()
+        else:
+            self._stopping_steps += 1
+            if self._stopping_steps >= self._early_stop_patience:
+                raise EarlyStopError(
+                    f"{self._best_key} stalled for {self._stopping_steps} evals "
+                    f"(best {self._best:.5f} @ epoch {self._best_epoch})"
+                )
+
+    # -------------------------------------------------------- persistence
+    def _state_dict(self) -> Dict[str, Any]:
+        return {
+            "params": jax.tree.map(np.asarray, self.state.params),
+            "opt_state": jax.tree.map(np.asarray, self.state.opt_state),
+            "step": int(self.state.step),
+        }
+
+    def _load_state_dict(self, payload: Dict[str, Any]) -> None:
+        params = jax.tree.map(jnp.asarray, payload["params"])
+        if payload.get("opt_state") is not None and self.state is not None:
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(self.state.opt_state),
+                jax.tree.leaves(payload["opt_state"]),
+            )
+        else:
+            opt_state = self.optimizer.init(params)
+        self.state = TrainState(
+            params, opt_state, jnp.asarray(payload.get("step", 0), jnp.int32)
+        )
+
+    @dist.main_process_only
+    def save(self, filename: Optional[str] = None, best: bool = False) -> None:
+        path = self.cfg.CHECKPOINT_PATH
+        utils.mkdirs(path)
+        filename = filename or (
+            self.cfg.BEST_FILENAME if best else self.cfg.SAVED_FILENAME
+        )
+        utils.export_pickle(
+            {"params": jax.tree.map(np.asarray, self.state.params)},
+            os.path.join(path, filename),
+        )
+
+    def save_best(self) -> None:
+        if self.state is not None:
+            self.save(self.cfg.BEST_FILENAME)
+
+    def save_last(self) -> None:
+        if self.state is not None:
+            self.save(self.cfg.SAVED_FILENAME)
+
+    def load(self, path: Optional[str] = None, filename: Optional[str] = None) -> None:
+        path = path or self.cfg.CHECKPOINT_PATH
+        filename = filename or self.cfg.SAVED_FILENAME
+        payload = utils.import_pickle(os.path.join(path, filename))
+        params = jax.tree.map(jnp.asarray, payload["params"])
+        opt_state = (
+            self.state.opt_state if self.state else self.optimizer.init(params)
+        )
+        step = self.state.step if self.state else jnp.asarray(0, jnp.int32)
+        self.state = TrainState(params, opt_state, step)
+        dist.synchronize()
+
+    def load_best(self) -> None:
+        self.load(filename=self.cfg.BEST_FILENAME)
+
+    @dist.main_process_only
+    def save_checkpoint(self, epoch: int) -> None:
+        path = self.cfg.CHECKPOINT_PATH
+        utils.mkdirs(path)
+        payload = {
+            "epoch": epoch,
+            "state": self._state_dict(),
+            "history": self.history,
+            "best": (self._best, self._best_epoch, self._stopping_steps),
+            "rng": np.asarray(self._rng),
+        }
+        utils.export_pickle(payload, os.path.join(path, self.cfg.CHECKPOINT_FILENAME))
+
+    def load_checkpoint(self) -> int:
+        file_ = os.path.join(self.cfg.CHECKPOINT_PATH, self.cfg.CHECKPOINT_FILENAME)
+        payload = utils.import_pickle(file_)
+        self._load_state_dict(payload["state"])
+        self.history = payload["history"]
+        self._best, self._best_epoch, self._stopping_steps = payload["best"]
+        self._rng = jnp.asarray(payload["rng"])
+        return int(payload["epoch"])
+
+    def resume(self) -> int:
+        if self.cfg.get("resume"):
+            try:
+                epoch = self.load_checkpoint() + 1
+                utils.infoLogger(f"[Coach] >>> resume from epoch {epoch}")
+                return epoch
+            except FileNotFoundError:
+                utils.warnLogger("[Coach] >>> no checkpoint found; fresh start")
+        return 0
+
+    # ----------------------------------------------------------- summary
+    def summary(self) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        for mode in ("train", "valid", "test"):
+            if self.history[mode]:
+                out[mode] = {
+                    k: v for k, v in self.history[mode][-1].items() if k != "epoch"
+                }
+        return out
+
+    @dist.main_process_only
+    def easy_record_best(self, best_summary: Dict[str, float]) -> None:
+        """results.json + SUMMARY.md + monitors.pkl in the benchmark
+        store schema (benchmark/*/MF-BPR.json runs[*])."""
+        cfg = self.cfg
+        utils.mkdirs(cfg.LOG_PATH)
+        metrics = self.summary()
+        metrics["best"] = best_summary
+        record = {
+            "id": cfg.id,
+            "params": {"seed": int(cfg.seed), "config": cfg.get("config")},
+            "metrics": metrics,
+        }
+        with open(os.path.join(cfg.LOG_PATH, "results.json"), "w") as fh:
+            json.dump(record, fh, indent=1)
+        utils.export_pickle(
+            self.history, os.path.join(cfg.LOG_PATH, cfg.MONITOR_FILENAME)
+        )
+        lines = [f"# {cfg.description}", ""]
+        for mode, vals in metrics.items():
+            lines.append(f"## {mode}")
+            lines.append("")
+            for k, v in sorted(vals.items()):
+                if k != "epoch":
+                    lines.append(f"- {k}: {v:.5f}")
+            lines.append("")
+        with open(os.path.join(cfg.LOG_PATH, cfg.SUMMARY_FILENAME), "w") as fh:
+            fh.write("\n".join(lines))
+
+    # --------------------------------------------------------------- fit
+    def fit(self) -> Dict[str, float]:
+        cfg = self.cfg
+        self.start_epoch = self.resume()
+        eval_freq = max(1, int(cfg.get("eval_freq", 1)))
+        t0 = time.monotonic()
+        epoch = self.start_epoch
+        try:
+            for epoch in range(self.start_epoch, int(cfg.epochs)):
+                self.train(epoch)
+                if (epoch + 1) % int(cfg.get("CHECKPOINT_FREQ", 1)) == 0:
+                    self.save_checkpoint(epoch)
+                if (epoch + 1) % eval_freq == 0:
+                    if cfg.get("eval_valid", True):
+                        self.evaluate(epoch, mode="valid")
+                        summary = self._flush("valid", epoch)
+                        self._check_best(summary, epoch)
+                    if cfg.get("eval_test", False):
+                        self.evaluate(epoch, mode="test")
+                        self._flush("test", epoch)
+        except EarlyStopError as exc:
+            utils.infoLogger(f"[Coach] >>> early stop: {exc}")
+        except KeyboardInterrupt:
+            utils.warnLogger("[Coach] >>> interrupted; saving last state")
+
+        self.save_last()
+
+        # final eval at last state
+        if self.validpipe is not None:
+            self.evaluate(epoch, mode="valid")
+            summary = self._flush("valid", epoch)
+            if self._best is None:
+                self._check_best(summary, epoch)
+        if self.testpipe is not None:
+            self.evaluate(epoch, mode="test")
+            self._flush("test", epoch)
+
+        # eval at best checkpoint (→ the "best" block in results.json)
+        best_summary: Dict[str, float] = {}
+        try:
+            self.load_best()
+            if self.testpipe is not None:
+                self.evaluate(epoch, mode="test")
+                best_summary = {
+                    k: v
+                    for k, v in self._flush("test", epoch).items()
+                    if k != "epoch"
+                }
+                # keep "test" history pointing at the last-state eval
+                if self.history["test"]:
+                    self.history["test"].pop()
+        except FileNotFoundError:
+            pass
+
+        self.easy_record_best(best_summary)
+        elapsed = time.monotonic() - t0
+        utils.infoLogger(
+            f"[Coach] >>> done in {elapsed:.1f}s; best {self._best_key}="
+            f"{self._best if self._best is not None else float('nan')} "
+            f"@ epoch {self._best_epoch}"
+        )
+        dist.synchronize()
+        return best_summary

@@ -1,0 +1,133 @@
+"""Shared neural blocks used across the zoo (the freerec `models.nn`
+role): transformer encoder blocks, MLPs, init helpers."""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops import attention as attn_ops
+
+__all__ = ["xavier_normal", "normal_init", "PointWiseFFN", "SASRecBlock", "MLP", "TransformerBlock"]
+
+xavier_normal = nn.initializers.xavier_normal()
+
+
+def normal_init(std: float = 1e-4):
+    return nn.initializers.normal(stddev=std)
+
+
+class PointWiseFFN(nn.Module):
+    """Conv1d(k=1) → ReLU → Conv1d(k=1) with dropouts and residual
+    (SASRec/main.py:31-50); kernel-size-1 convs are plain Dense on TPU."""
+
+    hidden_size: int
+    dropout_rate: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        h = nn.Dense(self.hidden_size, kernel_init=xavier_normal)(x)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = nn.relu(h)
+        h = nn.Dense(self.hidden_size, kernel_init=xavier_normal)(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return h + x
+
+
+class SASRecBlock(nn.Module):
+    """One SASRec block: LN(Q-only) + causal MHA residual, LN + FFN
+    residual, pad re-zeroing (SASRec/main.py:163-176)."""
+
+    embedding_dim: int
+    num_heads: int = 1
+    dropout_rate: float = 0.2
+
+    @nn.compact
+    def __call__(
+        self,
+        seqs: jnp.ndarray,
+        padding_mask: jnp.ndarray,  # (B, L, 1) True at pads
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        # Q from the LayerNorm'd stream, K/V from the raw stream
+        # (SASRec/main.py:165-171: attn(LN(seqs), seqs, seqs))
+        q_in = nn.LayerNorm(epsilon=1e-8)(seqs)
+        qp = nn.Dense(self.embedding_dim, kernel_init=xavier_normal, name="q_proj")(q_in)
+        kp = nn.Dense(self.embedding_dim, kernel_init=xavier_normal, name="k_proj")(seqs)
+        vp = nn.Dense(self.embedding_dim, kernel_init=xavier_normal, name="v_proj")(seqs)
+        attended = attn_ops.mha(
+            qp,
+            kp,
+            vp,
+            num_heads=self.num_heads,
+            causal=True,
+            key_padding_mask=padding_mask[..., 0],
+        )
+        proj = nn.Dense(self.embedding_dim, kernel_init=xavier_normal, name="out_proj")
+        attended = nn.Dropout(self.dropout_rate)(
+            proj(attended), deterministic=deterministic
+        )
+        seqs = attended + seqs
+        seqs = nn.LayerNorm(epsilon=1e-8)(seqs)
+        seqs = PointWiseFFN(self.embedding_dim, self.dropout_rate)(
+            seqs, deterministic=deterministic
+        )
+        return jnp.where(padding_mask, 0.0, seqs)
+
+
+class TransformerBlock(nn.Module):
+    """Standard post-LN encoder block (BERT4Rec-style, bidirectional)."""
+
+    embedding_dim: int
+    num_heads: int = 2
+    intermediate_dim: Optional[int] = None
+    dropout_rate: float = 0.1
+    activation: Callable = nn.gelu
+
+    @nn.compact
+    def __call__(
+        self,
+        seqs: jnp.ndarray,
+        key_padding_mask: Optional[jnp.ndarray] = None,  # (B, L) True at pads
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        qkv = nn.DenseGeneral(
+            (3, self.embedding_dim), axis=-1, kernel_init=xavier_normal, name="qkv"
+        )(seqs)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+        attended = attn_ops.mha(
+            q, k, v, num_heads=self.num_heads, causal=False,
+            key_padding_mask=key_padding_mask,
+        )
+        attended = nn.Dense(
+            self.embedding_dim, kernel_init=xavier_normal, name="out_proj"
+        )(attended)
+        attended = nn.Dropout(self.dropout_rate)(attended, deterministic=deterministic)
+        x = nn.LayerNorm()(seqs + attended)
+        inter = self.intermediate_dim or 4 * self.embedding_dim
+        h = nn.Dense(inter, kernel_init=xavier_normal)(x)
+        h = self.activation(h)
+        h = nn.Dense(self.embedding_dim, kernel_init=xavier_normal)(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.LayerNorm()(x + h)
+
+
+class MLP(nn.Module):
+    """Dense tower with configurable activation/dropout (DeepFM DNN)."""
+
+    hidden_sizes: Sequence[int]
+    dropout_rate: float = 0.0
+    activation: Callable = nn.relu
+    final_activation: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        for i, size in enumerate(self.hidden_sizes):
+            x = nn.Dense(size, kernel_init=xavier_normal)(x)
+            last = i == len(self.hidden_sizes) - 1
+            if not last or self.final_activation:
+                x = self.activation(x)
+                x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return x

@@ -1,0 +1,41 @@
+"""The model zoo. Each module mirrors one reference model directory
+(SURVEY.md §2.4) re-designed TPU-first; registry for the generic runner."""
+
+from typing import Dict, Type
+
+from ..base import RecSysArch
+
+REGISTRY: Dict[str, Type[RecSysArch]] = {}
+
+
+def register(name: str):
+    def deco(cls):
+        REGISTRY[name] = cls
+        cls.ZOO_NAME = name
+        return cls
+
+    return deco
+
+
+from . import mf_bpr  # noqa: F401,E402
+from . import sasrec  # noqa: F401,E402
+from . import gru4rec  # noqa: F401,E402
+from . import lightgcn  # noqa: F401,E402
+from . import bert4rec  # noqa: F401,E402
+from . import fmlp_rec  # noqa: F401,E402
+from . import hstu  # noqa: F401,E402
+from .hstu import HSTU  # noqa: F401,E402
+from . import ctr  # noqa: F401,E402
+from .fmlp_rec import FMLPRec  # noqa: F401,E402
+from .ctr import DCN, DeepFM  # noqa: F401,E402
+from . import neumf  # noqa: F401,E402
+from . import stamp  # noqa: F401,E402
+from . import caser  # noqa: F401,E402
+from .bert4rec import BERT4Rec  # noqa: F401,E402
+from .neumf import NeuMF  # noqa: F401,E402
+from .stamp import STAMP  # noqa: F401,E402
+from .caser import Caser  # noqa: F401,E402
+from .mf_bpr import MFBPR  # noqa: F401,E402
+from .sasrec import SASRec  # noqa: F401,E402
+from .gru4rec import GRU4Rec  # noqa: F401,E402
+from .lightgcn import LightGCN  # noqa: F401,E402

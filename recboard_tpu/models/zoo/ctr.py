@@ -1,0 +1,157 @@
+"""CTR prediction models: DeepFM and DCN.
+
+Reference: DeepFM/main.py:34-200 (LogisticRegression + inner-product FM
+block + DNN; per-field EMBED embeddings, dense fields via Linear(1→D);
+`marked_params` separates embedding weight decay), DCN/main.py:35-135
+(CrossNet layers x0·(w·xi)+b + DNN → concat → fc). BCE loss on Label;
+pool-style eval with AUC/LOGLOSS monitors (configs for Criteo/Frappe
+BARS).
+
+TPU note: all field embeddings gather into one (B, F, D) tensor so the
+FM bi-interaction and DNN run as dense batched matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ... import criterions
+from ...data.tags import EMBED, LABEL, SPARSE
+from ..base import Batch, PredRecArch
+from ..modules import xavier_normal
+from . import register
+
+_emb_init = nn.initializers.normal(stddev=1e-4)
+
+
+class FieldEmbeddings(nn.Module):
+    """Per-field embeddings to a common dim: sparse ids → Embed rows,
+    dense scalars → Linear(1→D) (DeepFM/main.py:140-151)."""
+
+    fields: tuple  # of Field
+    dim: int
+
+    @nn.compact
+    def __call__(self, data: Batch) -> jnp.ndarray:
+        outs = []
+        for field in self.fields:
+            v = data[field]
+            if field.match(SPARSE) or field.match(EMBED) or field.count is not None:
+                e = nn.Embed(
+                    field.count, self.dim, embedding_init=_emb_init,
+                    name=f"embeddings_{field.name}",
+                )(v)
+            else:
+                e = nn.Dense(
+                    self.dim, use_bias=False, kernel_init=xavier_normal,
+                    name=f"embeddings_{field.name}",
+                )(v[..., None].astype(jnp.float32))
+            outs.append(e[:, None, :])
+        return jnp.concatenate(outs, axis=1)  # (B, F, D)
+
+
+class _PredBase(PredRecArch):
+    def sure_trainpipe(self, batch_size: int):
+        return (
+            self.dataset.train().shuffled_inter_source().batch_(batch_size).tensor_()
+        )
+
+    @property
+    def input_fields(self):
+        return tuple(self.fields.match_not(LABEL))
+
+    def recommend_from_full(self, data: Batch, buffers: Any = None) -> jnp.ndarray:
+        return self.recommend_from_pool(data, buffers)
+
+
+@register("DeepFM")
+class DeepFM(_PredBase):
+    embedding_dim: int = 16
+    hidden_dims: Tuple[int, ...] = (400, 400, 400)
+    hidden_dropout_rate: float = 0.2
+    batch_norm: bool = False
+
+    def setup(self):
+        self.embeddings = FieldEmbeddings(self.input_fields, self.embedding_dim)
+        self.lr_embeddings = FieldEmbeddings(self.input_fields, 1)
+        self.lr_bias = self.param("lr_bias", nn.initializers.zeros, (1,))
+        self.dnn_layers = [
+            nn.Dense(h, kernel_init=xavier_normal) for h in self.hidden_dims
+        ]
+        self.dnn_out = nn.Dense(1, kernel_init=xavier_normal)
+        self.dropout = nn.Dropout(self.hidden_dropout_rate)
+
+    def _logits(self, data: Batch, deterministic: bool = True) -> jnp.ndarray:
+        x = self.embeddings(data)  # (B, F, D)
+        # FM: LR first-order + inner-product second-order
+        lr = self.lr_embeddings(data).sum(axis=(1, 2)) + self.lr_bias[0]  # (B,)
+        sum_sq = jnp.square(x.sum(axis=1))
+        sq_sum = jnp.square(x).sum(axis=1)
+        fm = 0.5 * (sum_sq - sq_sum).sum(axis=-1)  # (B,)
+        # DNN on flattened embeddings
+        h = x.reshape(x.shape[0], -1)
+        for layer in self.dnn_layers:
+            h = nn.relu(layer(h))
+            h = self.dropout(h, deterministic=deterministic)
+        dnn = self.dnn_out(h)[:, 0]
+        return lr + fm + dnn
+
+    def fit(self, data: Batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        logits = self._logits(data, deterministic=False)
+        labels = data[self.Label].astype(jnp.float32)
+        loss = criterions.bce_with_logits(logits, labels)
+        return loss, {"rec_loss": loss}
+
+    def recommend_from_pool(self, data: Batch, buffers: Any = None) -> jnp.ndarray:
+        return nn.sigmoid(self._logits(data))
+
+
+@register("DCN")
+class DCN(_PredBase):
+    embedding_dim: int = 16
+    hidden_dims: Tuple[int, ...] = (400, 400, 400)
+    num_layers: int = 3
+    hidden_dropout_rate: float = 0.2
+    batch_norm: bool = False
+
+    def setup(self):
+        self.embeddings = FieldEmbeddings(self.input_fields, self.embedding_dim)
+        input_dim = len(self.input_fields) * self.embedding_dim
+        self.cross_ws = [
+            nn.Dense(1, use_bias=False, kernel_init=xavier_normal, name=f"cross_w_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.cross_bs = [
+            self.param(f"cross_b_{i}", nn.initializers.zeros, (input_dim,))
+            for i in range(self.num_layers)
+        ]
+        self.dnn_layers = [
+            nn.Dense(h, kernel_init=xavier_normal) for h in self.hidden_dims
+        ]
+        self.fc = nn.Dense(1, kernel_init=xavier_normal)
+        self.dropout = nn.Dropout(self.hidden_dropout_rate)
+
+    def _logits(self, data: Batch, deterministic: bool = True) -> jnp.ndarray:
+        x0 = self.embeddings(data)
+        x0 = x0.reshape(x0.shape[0], -1)
+        xi = x0
+        # CrossNet without residual: xi = w(xi)·x0 + b (DCN/main.py:45,156-158)
+        for w, b in zip(self.cross_ws, self.cross_bs):
+            xi = w(xi) * x0 + b
+        h = x0
+        for layer in self.dnn_layers:
+            h = nn.relu(layer(h))
+            h = self.dropout(h, deterministic=deterministic)
+        return self.fc(jnp.concatenate([h, xi], axis=-1))[:, 0]
+
+    def fit(self, data: Batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        logits = self._logits(data, deterministic=False)
+        labels = data[self.Label].astype(jnp.float32)
+        loss = criterions.bce_with_logits(logits, labels)
+        return loss, {"rec_loss": loss}
+
+    def recommend_from_pool(self, data: Batch, buffers: Any = None) -> jnp.ndarray:
+        return nn.sigmoid(self._logits(data))

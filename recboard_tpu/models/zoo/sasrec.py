@@ -1,0 +1,123 @@
+"""SASRec: causal transformer over item sequences.
+
+Reference: SASRec/main.py:53-236 — item embds * sqrt(D) + position
+embds → dropout → [LN + causal MHA (residual) → LN + pointwise FFN
+(residual)] × K → LN → dot-product scoring; BCE/BPR/CE losses over
+per-position targets with padding positions masked by *weighting*
+(static shapes) instead of boolean gathers (SASRec/main.py:199-200).
+Baseline (Amazon2014Beauty_550_LOU, BCE): HR@10 0.0668±0.0012,
+NDCG@10 0.0354±0.0009.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ... import criterions
+from ..base import Batch, SeqRecArch
+from ..modules import SASRecBlock, xavier_normal
+from . import register
+
+
+@register("SASRec")
+class SASRec(SeqRecArch):
+    maxlen: int = 50
+    num_heads: int = 1
+    num_blocks: int = 2
+    embedding_dim: int = 64
+    dropout_rate: float = 0.2
+    loss: str = "BCE"  # BCE | BPR | CE
+
+    def setup(self):
+        self.item_embeddings = nn.Embed(
+            self.Item.count + self.NUM_PADS,
+            self.embedding_dim,
+            embedding_init=xavier_normal,
+        )
+        self.position_embeddings = nn.Embed(
+            self.maxlen, self.embedding_dim, embedding_init=xavier_normal
+        )
+        self.embd_dropout = nn.Dropout(self.dropout_rate)
+        self.blocks = [
+            SASRecBlock(self.embedding_dim, self.num_heads, self.dropout_rate)
+            for _ in range(self.num_blocks)
+        ]
+        self.last_ln = nn.LayerNorm(epsilon=1e-8)
+
+    def sure_trainpipe(self, maxlen: int, batch_size: int):
+        return (
+            self.dataset.train()
+            .shuffled_seqs_source(maxlen=maxlen)
+            .seq_train_yielding_pos_(start_idx_for_target=1, end_idx_for_input=-1)
+            .seq_train_sampling_neg_(num_negatives=1)
+            .add_(offset=self.NUM_PADS, modified_fields=(self.ISeq,))
+            .lpad_(
+                maxlen,
+                modified_fields=(self.ISeq, self.IPos, self.INeg),
+                padding_value=self.PADDING_VALUE,
+            )
+            .batch_(batch_size)
+            .tensor_()
+        )
+
+    def encode(
+        self, data: Batch, deterministic: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        seqs = data[self.ISeq]  # (B, L) offset ids, 0 = pad
+        padding_mask = (seqs == self.PADDING_VALUE)[..., None]  # (B, L, 1)
+        x = self.item_embeddings(seqs) * (self.embedding_dim**0.5)
+        positions = jnp.arange(self.maxlen)[None, :]
+        x = x + self.position_embeddings(positions)
+        x = self.embd_dropout(x, deterministic=deterministic)
+        x = jnp.where(padding_mask, 0.0, x)
+        for block in self.blocks:
+            x = block(x, padding_mask, deterministic=deterministic)
+        user_embds = self.last_ln(x)  # (B, L, D)
+        item_embds = self.item_embeddings.embedding[self.NUM_PADS :]
+        return user_embds, item_embds
+
+    def fit(self, data: Batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        user_embds, item_embds = self.encode(data, deterministic=False)
+        seqs = data[self.ISeq]
+        weights = (seqs != self.PADDING_VALUE).astype(jnp.float32)  # (B, L)
+
+        if self.loss in ("BCE", "BPR"):
+            pos = item_embds[data[self.IPos]]  # (B, L, D)
+            neg = item_embds[data[self.INeg]]
+            pos_logits = jnp.einsum("bld,bld->bl", user_embds, pos)
+            neg_logits = jnp.einsum("bld,bld->bl", user_embds, neg)
+            if self.loss == "BCE":
+                rec_loss = criterions.bce_with_logits(
+                    pos_logits, jnp.ones_like(pos_logits), weights=weights
+                ) + criterions.bce_with_logits(
+                    neg_logits, jnp.zeros_like(neg_logits), weights=weights
+                )
+            else:
+                rec_loss = criterions.bpr_with_logits(
+                    pos_logits, neg_logits, weights=weights
+                )
+        else:  # CE over the full catalog
+            logits = jnp.einsum(
+                "bld,nd->bln", user_embds, item_embds,
+                preferred_element_type=jnp.float32,
+            )
+            rec_loss = criterions.cross_entropy_with_logits(
+                logits, data[self.IPos], weights=weights
+            )
+        return rec_loss, {"rec_loss": rec_loss}
+
+    def recommend_from_full(self, data: Batch, buffers: Any = None) -> jnp.ndarray:
+        user_embds, item_embds = self.encode(data)
+        q = user_embds[:, -1, :]
+        return jnp.einsum(
+            "bd,nd->bn", q, item_embds, preferred_element_type=jnp.float32
+        )
+
+    def recommend_from_pool(self, data: Batch, buffers: Any = None) -> jnp.ndarray:
+        user_embds, item_embds = self.encode(data)
+        q = user_embds[:, -1, :]
+        cands = item_embds[data[self.IUnseen]]  # (B, K, D)
+        return jnp.einsum("bd,bkd->bk", q, cands)

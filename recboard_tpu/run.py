@@ -1,0 +1,113 @@
+"""Generic zoo runner: ``python -m recboard_tpu.run --model SASRec
+--dataset Amazon2014Beauty_550_LOU --config configs/x.yaml``.
+
+The reference ships one main.py per model dir (CONTRIBUTING.md layout);
+here every zoo model also registers enough metadata to be launched from
+a single CLI. Per-model extra hyperparameters pass through the YAML
+config / CLI unchanged (the Parser keeps unknown keys).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+from . import utils
+from .data.datasets import NextItemRecDataSet, PredictionRecDataSet, RecDataSet
+from .data.tags import TaskTag
+from .launcher import Coach
+from .models.zoo import REGISTRY
+from .parser import Parser
+
+
+def model_field_names(cls) -> set:
+    return {f.name for f in dataclasses.fields(cls) if f.name != "dataset"}
+
+
+def build_model(name: str, dataset: RecDataSet, cfg: Dict[str, Any]):
+    if name not in REGISTRY:
+        raise SystemExit(
+            f"unknown model {name!r}; available: {', '.join(sorted(REGISTRY))}"
+        )
+    cls = REGISTRY[name]
+    fields = model_field_names(cls)
+    kwargs = {k: cfg[k] for k in fields if k in cfg and cfg[k] is not None}
+    if "adj" in fields and "adj" not in kwargs:
+        kwargs["adj"] = dataset.train().to_normalized_adj("sym")
+    return cls(dataset, **kwargs)
+
+
+def build_pipes(model, cfg):
+    import inspect
+
+    sig = inspect.signature(model.sure_trainpipe)
+    if "maxlen" in sig.parameters:
+        trainpipe = model.sure_trainpipe(int(cfg.maxlen), int(cfg.batch_size))
+        validpipe = model.sure_validpipe(int(cfg.maxlen), ranking=cfg.ranking)
+        testpipe = model.sure_testpipe(int(cfg.maxlen), ranking=cfg.ranking)
+    else:
+        trainpipe = model.sure_trainpipe(int(cfg.batch_size))
+        validpipe = model.sure_validpipe(cfg.ranking)
+        testpipe = model.sure_testpipe(cfg.ranking)
+    return trainpipe, validpipe, testpipe
+
+
+def load_dataset(cfg) -> RecDataSet:
+    tag = TaskTag(cfg.get("tasktag", "NEXTITEM"))
+    if tag == TaskTag.PREDICTION:
+        return PredictionRecDataSet(
+            cfg.root, cfg.dataset, tasktag=tag, cfg=cfg.get("fields")
+        )
+    if tag == TaskTag.NEXTITEM:
+        return NextItemRecDataSet(cfg.root, cfg.dataset, tasktag=tag)
+    return RecDataSet(cfg.root, cfg.dataset, tasktag=tag)
+
+
+def main(argv: Optional[list] = None):
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # default description = model name, decided BEFORE compile so
+    # LOG_PATH/CHECKPOINT_PATH are derived from it
+    if not any(a.startswith("--description") for a in argv):
+        model_name = "SASRec"
+        for i, a in enumerate(argv):
+            if a == "--model" and i + 1 < len(argv):
+                model_name = argv[i + 1]
+            elif a.startswith("--model="):
+                model_name = a.split("=", 1)[1]
+        argv += ["--description", model_name]
+
+    parser = Parser()
+    parser.add_argument("--model", type=str, default="SASRec")
+    parser.add_argument("--maxlen", type=int, default=50)
+    parser.add_argument("--embedding-dim", type=int, default=64)
+    parser.add_argument("--num-heads", type=int, default=1)
+    parser.add_argument("--num-blocks", type=int, default=2)
+    parser.add_argument("--num-layers", type=int, default=3)
+    parser.add_argument("--hidden-size", type=int, default=128)
+    parser.add_argument("--dropout-rate", type=float, default=0.2)
+    parser.add_argument("--loss", type=str, default=None)
+    cfg = parser.compile(argv)
+    if not cfg.get("description") or cfg.description == "RecBoardTPU":
+        cfg.description = cfg.model
+
+    dataset = load_dataset(cfg)
+    dataset.summary()
+    model = build_model(cfg.model, dataset, cfg)
+    trainpipe, validpipe, testpipe = build_pipes(model, cfg)
+    coach = Coach(
+        dataset=dataset,
+        trainpipe=trainpipe,
+        validpipe=validpipe,
+        testpipe=testpipe,
+        model=model,
+        cfg=cfg,
+    )
+    best = coach.fit()
+    utils.infoLogger(f"[run] >>> best: {best}")
+    return best
+
+
+if __name__ == "__main__":
+    main()
