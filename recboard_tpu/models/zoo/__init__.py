@@ -26,6 +26,20 @@ from . import fmlp_rec  # noqa: F401,E402
 from . import hstu  # noqa: F401,E402
 from .hstu import HSTU  # noqa: F401,E402
 from . import ctr  # noqa: F401,E402
+from . import graph_cf  # noqa: F401,E402
+from . import fpmc  # noqa: F401,E402
+from .graph_cf import GCN, GTE, NGCF, SGL, SimGCL  # noqa: F401,E402
+from .fpmc import FPMC  # noqa: F401,E402
+from . import narm  # noqa: F401,E402
+from . import bsarec  # noqa: F401,E402
+from . import stosa  # noqa: F401,E402
+from . import glint_ru  # noqa: F401,E402
+from . import rum  # noqa: F401,E402
+from .narm import NARM  # noqa: F401,E402
+from .bsarec import BSARec  # noqa: F401,E402
+from .stosa import STOSA  # noqa: F401,E402
+from .glint_ru import GLINTRU  # noqa: F401,E402
+from .rum import RUM  # noqa: F401,E402
 from .fmlp_rec import FMLPRec  # noqa: F401,E402
 from .ctr import DCN, DeepFM  # noqa: F401,E402
 from . import neumf  # noqa: F401,E402

@@ -33,7 +33,10 @@ def build_model(name: str, dataset: RecDataSet, cfg: Dict[str, Any]):
     fields = model_field_names(cls)
     kwargs = {k: cfg[k] for k in fields if k in cfg and cfg[k] is not None}
     if "adj" in fields and "adj" not in kwargs:
-        kwargs["adj"] = dataset.train().to_normalized_adj("sym")
+        if hasattr(cls, "build_adj"):
+            kwargs["adj"] = cls.build_adj(dataset)
+        else:
+            kwargs["adj"] = dataset.train().to_normalized_adj("sym")
     return cls(dataset, **kwargs)
 
 
