@@ -228,6 +228,21 @@ class ShuffledRollSeqsSource(_ViewPipe):
             yield rows[i]
 
 
+@view_source("shuffled_pairs_source")
+class ShuffledPairsSource(_ViewPipe):
+    """Shuffled (user, item) interaction pairs; the item travels as a
+    1-tuple so batches collate to (B, 1) (UltraGCN/SimpleX trainpipes)."""
+
+    def __iter__(self) -> Iterator[Row]:
+        User, Item = self.User, self.Item
+        cols = self.view.columns()
+        users = cols[User]
+        items = cols[Item]
+        order = self.rng().permutation(len(users))
+        for i in order:
+            yield {User: int(users[i]), Item: (int(items[i]),)}
+
+
 @view_source("shuffled_inter_source")
 class ShuffledInterSource(_ViewPipe):
     """Shuffled raw interaction rows (CTR — DeepFM/main.py:185)."""

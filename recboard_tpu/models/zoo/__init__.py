@@ -40,6 +40,10 @@ from .bsarec import BSARec  # noqa: F401,E402
 from .stosa import STOSA  # noqa: F401,E402
 from .glint_ru import GLINTRU  # noqa: F401,E402
 from .rum import RUM  # noqa: F401,E402
+from . import graph_cf2  # noqa: F401,E402
+from .graph_cf2 import CAGCN, JGCF, AlphaRec, PairNormSGC, SimpleX, UltraGCN  # noqa: F401,E402
+from . import multimodal  # noqa: F401,E402
+from .multimodal import BM3, FREEDOM, LATTICE, MGCN, MMGCN  # noqa: F401,E402
 from .fmlp_rec import FMLPRec  # noqa: F401,E402
 from .ctr import DCN, DeepFM  # noqa: F401,E402
 from . import neumf  # noqa: F401,E402

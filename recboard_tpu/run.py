@@ -37,6 +37,66 @@ def build_model(name: str, dataset: RecDataSet, cfg: Dict[str, Any]):
             kwargs["adj"] = cls.build_adj(dataset)
         else:
             kwargs["adj"] = dataset.train().to_normalized_adj("sym")
+
+    # modality / side-information construction (reference: --vfile/--tfile
+    # pickles under the dataset dir, FREEDOM/main.py:92-101)
+    import os
+
+    from . import utils as _utils
+
+    def load_feat(key):
+        file_ = cfg.get(key)
+        if not file_:
+            return None
+        feats = _utils.import_pickle(os.path.join(dataset.path, file_))
+        import numpy as _np
+
+        return _np.asarray(feats, dtype=_np.float32)
+
+    vfeats = load_feat("vfile") if "vfeats" in fields else None
+    tfeats = load_feat("tfile") if "tfeats" in fields else None
+    if "vfeats" in fields:
+        kwargs.setdefault("vfeats", vfeats)
+    if "tfeats" in fields:
+        kwargs.setdefault("tfeats", tfeats)
+    knn_k = int(cfg.get("knn_k", 10) or 10)
+    if "m_knn" in fields and (vfeats is not None or tfeats is not None):
+        kwargs.setdefault(
+            "m_knn",
+            cls.build_m_knn(vfeats, tfeats, knn_k, float(cfg.get("weight4mAdj", 0.1))),
+        )
+    if "v_knn" in fields and vfeats is not None:
+        from .models.zoo.multimodal import knn_graph_np
+
+        kwargs.setdefault("v_knn", knn_graph_np(vfeats, knn_k))
+    if "t_knn" in fields and tfeats is not None:
+        from .models.zoo.multimodal import knn_graph_np
+
+        kwargs.setdefault("t_knn", knn_graph_np(tfeats, knn_k))
+    if "v_origin" in fields and vfeats is not None:
+        from .models.zoo.multimodal import knn_graph_np
+
+        kwargs.setdefault("v_origin", knn_graph_np(vfeats, knn_k))
+    if "t_origin" in fields and tfeats is not None:
+        from .models.zoo.multimodal import knn_graph_np
+
+        kwargs.setdefault("t_origin", knn_graph_np(tfeats, knn_k))
+    if "r_adj" in fields and hasattr(cls, "build_r_adj"):
+        kwargs.setdefault("r_adj", cls.build_r_adj(dataset))
+    if "user_beta" in fields and hasattr(cls, "build_side_info"):
+        ub, ib, iiw, iii = cls.build_side_info(
+            dataset, num_neighbors=int(cfg.get("num_neighbors", 10) or 10)
+        )
+        kwargs.setdefault("user_beta", ub)
+        kwargs.setdefault("item_beta", ib)
+        kwargs.setdefault("ii_weights", iiw)
+        kwargs.setdefault("ii_indices", iii)
+    if "item_features" in fields:
+        feats = load_feat("tfile") or load_feat("vfile")
+        if feats is not None:
+            item_f, user_f = cls.build_features(dataset, feats)
+            kwargs.setdefault("item_features", item_f)
+            kwargs.setdefault("user_features_arr", user_f)
     return cls(dataset, **kwargs)
 
 
@@ -91,6 +151,9 @@ def main(argv: Optional[list] = None):
     parser.add_argument("--hidden-size", type=int, default=128)
     parser.add_argument("--dropout-rate", type=float, default=0.2)
     parser.add_argument("--loss", type=str, default=None)
+    parser.add_argument("--vfile", type=str, default=None)
+    parser.add_argument("--tfile", type=str, default=None)
+    parser.add_argument("--knn-k", type=int, default=10)
     cfg = parser.compile(argv)
     if not cfg.get("description") or cfg.description == "RecBoardTPU":
         cfg.description = cfg.model
