@@ -45,7 +45,9 @@ _CANON = {
 
 def parse_monitor(name: str) -> Tuple[str, int]:
     """'HitRate@10' → ('HITRATE', 10); scalar metrics get K=0."""
-    m = re.fullmatch(r"([A-Za-z_]+)\s*(?:@\s*(\d+))?", name.strip())
+    # names may carry custom suffixes ("PPL#0") or '$'-namespaces
+    # ("Beauty$NDCG@10" — UniSRec/main.py:443-446)
+    m = re.fullmatch(r"([A-Za-z_][A-Za-z_0-9#$]*?)\s*(?:@\s*(\d+))?", name.strip())
     if not m:
         raise ValueError(f"bad monitor name {name!r}")
     base = _CANON.get(m.group(1).lower(), m.group(1).upper())

@@ -44,6 +44,8 @@ from . import graph_cf2  # noqa: F401,E402
 from .graph_cf2 import CAGCN, JGCF, AlphaRec, PairNormSGC, SimpleX, UltraGCN  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from .multimodal import BM3, FREEDOM, LATTICE, MGCN, MMGCN  # noqa: F401,E402
+from . import tiger  # noqa: F401,E402
+from .tiger import RQVAE, RQVAECoach, TIGER  # noqa: F401,E402
 from .fmlp_rec import FMLPRec  # noqa: F401,E402
 from .ctr import DCN, DeepFM  # noqa: F401,E402
 from . import neumf  # noqa: F401,E402

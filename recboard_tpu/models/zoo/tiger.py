@@ -1,0 +1,341 @@
+"""TIGER: two-stage semantic-ID generative recommendation.
+
+Stage A — RQ-VAE tokenizer (TIGER/train_rqvae.py:75-283): frozen
+L2-normalized semantic item features → dropout/SiLU MLP encoder →
+residual quantizer (STE/Gumbel/rotation/SimVQ/product) → MLP decoder →
+normalized reconstruction; sum-MSE recon + commitment losses; metrics:
+per-level codebook perplexity + collision rate; emits sid_vocab.json.
+
+Stage B — seq2seq generator (TIGER/train_t5.py:95-240): item history →
+SID protocol tokens → T5-style encoder-decoder CE on the target item's
+SID block; full ranking via trie-constrained beam search, beam scores
+scattered over uniform background noise (train_t5.py:210-236).
+
+Baselines (Beauty): TIGER RQ-VAE NDCG@10 0.0371±0.0008 et al.
+
+TPU-first: item→token mapping is a static (N+1, L) int table (row N =
+all-PAD sentinel used as the sequence pad), so train/eval batches are
+pure int arrays — no tokenizer in the hot path; beam search is jitted
+with dense trie masks (sem/seq2seq.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import utils
+from ...launcher import Coach
+from ...sem.converter import SemIDConverter
+from ...sem.quantizers import (
+    ProductQuantizer,
+    ResidualQuantizer,
+    ResidualSimVQQuantizer,
+)
+from ...sem.seq2seq import Seq2SeqTransformer, beam_search
+from ..base import Batch, RecSysArch, SeqRecArch
+from ..modules import xavier_normal
+from . import register
+
+BACKGROUND_SCORE_MAX = 1e-3
+BEAM_SCORE_BASE = 1.0
+
+
+@register("RQVAE")
+class RQVAE(RecSysArch):
+    """Stage-A tokenizer model."""
+
+    item_features: Optional[np.ndarray] = None  # (N, F), frozen
+    hidden_dims: Tuple[int, ...] = (512, 256, 128)
+    codebook_dim: int = 32
+    num_codebooks: int = 3
+    num_codewords: int = 256
+    dropout_rate: float = 0.0
+    commit_weight: float = 0.25
+    quantization_strategy: str = "ste"  # ste|gumbel|rotation|simvq|product
+    sk_epsilons: Optional[Tuple[float, ...]] = None
+    sk_iters: int = 50
+    gumbel_temperature: float = 1.0
+
+    def setup(self):
+        feats = np.asarray(self.item_features, np.float32)
+        feats = feats / np.maximum(
+            np.linalg.norm(feats, axis=-1, keepdims=True), 1e-12
+        )
+        self._feats = jnp.asarray(feats)
+        dims = [feats.shape[1], *self.hidden_dims, self.codebook_dim]
+        self.enc_layers = [
+            nn.Dense(d, use_bias=False, kernel_init=xavier_normal)
+            for d in dims[1:]
+        ]
+        self.dec_layers = [
+            nn.Dense(d, use_bias=False, kernel_init=xavier_normal)
+            for d in dims[::-1][1:]
+        ]
+        self.dropout = nn.Dropout(self.dropout_rate)
+        kwargs = dict(
+            codebook_dim=self.codebook_dim,
+            num_codebooks=self.num_codebooks,
+            num_codewords=self.num_codewords,
+            commit_weight=self.commit_weight,
+            sk_iters=self.sk_iters,
+            sk_epsilons=self.sk_epsilons,
+            gumbel_temperature=self.gumbel_temperature,
+        )
+        if self.quantization_strategy == "simvq":
+            self.quantizer = ResidualSimVQQuantizer(**kwargs)
+        elif self.quantization_strategy == "product":
+            self.quantizer = ProductQuantizer(**kwargs)
+        else:
+            self.quantizer = ResidualQuantizer(
+                estimator=self.quantization_strategy, **kwargs
+            )
+
+    def sure_trainpipe(self, batch_size: int = 512):
+        from ...data.pipes import RandomShuffledSource
+
+        rows = self.dataset.to_rows({self.Item: list(range(self.Item.count))})
+        return (
+            RandomShuffledSource(self.dataset.train(), rows)
+            .batch_(batch_size)
+            .tensor_()
+        )
+
+    def encode(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        for i, layer in enumerate(self.enc_layers):
+            x = self.dropout(x, deterministic=deterministic)
+            x = layer(x)
+            if i < len(self.enc_layers) - 1:
+                x = nn.silu(x)
+        return x
+
+    def decode(self, q: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        for i, layer in enumerate(self.dec_layers):
+            q = self.dropout(q, deterministic=deterministic)
+            q = layer(q)
+            if i < len(self.dec_layers) - 1:
+                q = nn.silu(q)
+        return q * jax.lax.rsqrt(
+            jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12
+        )
+
+    def fit(self, data: Batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        items = data[self.Item].reshape(-1)
+        x = self._feats[items]
+        z = self.encode(x, deterministic=False)
+        q, aux_loss, ids = self.quantizer(z)
+        x_hat = self.decode(q, deterministic=False)
+        recon = jnp.sum(jnp.square(x_hat - x)) / items.shape[0]
+        loss = recon + aux_loss
+        return loss, {"recon_loss": recon, "auxiliary_loss": aux_loss}
+
+    def codes_of(self, items: jnp.ndarray) -> jnp.ndarray:
+        x = self._feats[items]
+        z = self.encode(x)
+        return self.quantizer.get_indices(z)
+
+    def recommend_from_full(self, data, buffers=None):
+        raise NotImplementedError("RQVAE is a tokenizer, not a recommender")
+
+    recommend_from_pool = recommend_from_full
+
+
+class RQVAECoach(Coach):
+    """Stage-A coach: registers tokenizer metrics (PPL per level +
+    collision rate, TIGER/train_rqvae.py:224-283) and writes
+    sid_vocab.json at the end."""
+
+    def evaluate(self, epoch: int, step: int = -1, mode: str = "valid") -> None:
+        model = self.get_res_sys_arch()
+        codes = np.asarray(
+            self.model.apply(
+                {"params": self.state.params},
+                jnp.arange(model.Item.count),
+                method="codes_of",
+            )
+        )  # (N, L)
+        ppls = []
+        for l in range(codes.shape[1]):
+            counts = np.bincount(codes[:, l], minlength=model.num_codewords)
+            p = counts / counts.sum()
+            nz = p[p > 0]
+            ppls.append(float(np.exp(-(nz * np.log(nz)).sum())))
+        uniq = len({tuple(r) for r in codes.tolist()})
+        collision = 1.0 - uniq / codes.shape[0]
+        names = ["PPL", "COLLISION_RATE"] + [f"PPL#{i}" for i in range(len(ppls))]
+        values = [float(np.mean(ppls)), collision] + ppls
+        self.monitor(*values, n=1, reduction="mean", mode=mode, pool=names)
+
+    def save_sid_vocab(self, file_: Optional[str] = None) -> str:
+        import os
+
+        model = self.get_res_sys_arch()
+        codes = np.asarray(
+            self.model.apply(
+                {"params": self.state.params},
+                jnp.arange(model.Item.count),
+                method="codes_of",
+            )
+        )
+        converter = SemIDConverter.from_codes(codes)
+        file_ = file_ or os.path.join(self.cfg.LOG_PATH, "sid_vocab.json")
+        converter.save(file_)
+        return file_
+
+
+@register("TIGER")
+class TIGER(SeqRecArch):
+    """Stage-B generator over SID tokens."""
+
+    NUM_PADS = 0  # padding handled by the sentinel token-table row
+
+    converter: Optional[SemIDConverter] = None
+    maxlen: int = 20
+    num_beams: int = 20
+    embedding_dim: int = 128
+    num_heads: int = 6
+    num_encoder_layers: int = 4
+    num_decoder_layers: int = 4
+    ffn_dim: int = 1024
+    dropout_rate: float = 0.1
+
+    def setup(self):
+        conv = self.converter
+        # sentinel row: item id == Item.count → all-PAD block
+        table = np.concatenate(
+            [conv.item_token_ids,
+             np.full((1, conv.item_token_ids.shape[1]), conv.pad_id, np.int32)],
+            axis=0,
+        )
+        self._token_table = jnp.asarray(table)
+        self.seq2seq = Seq2SeqTransformer(
+            vocab_size=conv.vocab_size,
+            dim=self.embedding_dim,
+            num_heads=self.num_heads,
+            num_encoder_layers=self.num_encoder_layers,
+            num_decoder_layers=self.num_decoder_layers,
+            ffn_dim=self.ffn_dim,
+            dropout=self.dropout_rate,
+            pad_id=conv.pad_id,
+        )
+
+    @property
+    def _pad_item(self) -> int:
+        return self.Item.count
+
+    def sure_trainpipe(self, maxlen: int, batch_size: int):
+        return (
+            self.dataset.train()
+            .shuffled_roll_seqs_source(minlen=2, maxlen=maxlen, keep_at_least_itself=True)
+            .seq_train_yielding_pos_(start_idx_for_target=-1, end_idx_for_input=-1)
+            .lpad_(maxlen, modified_fields=(self.ISeq,), padding_value=self._pad_item)
+            .batch_(batch_size)
+            .tensor_()
+        )
+
+    def sure_validpipe(self, maxlen: int, ranking: str = "full", batch_size: int = 256):
+        return (
+            self.dataset.valid()
+            .ordered_user_ids_source()
+            .valid_sampling_(ranking)
+            .lprune_(maxlen, modified_fields=(self.ISeq,))
+            .lpad_(maxlen, modified_fields=(self.ISeq,), padding_value=self._pad_item)
+            .batch_(batch_size)
+            .tensor_()
+        )
+
+    def sure_testpipe(self, maxlen: int, ranking: str = "full", batch_size: int = 256):
+        return (
+            self.dataset.test()
+            .ordered_user_ids_source()
+            .test_sampling_(ranking)
+            .lprune_(maxlen, modified_fields=(self.ISeq,))
+            .lpad_(maxlen, modified_fields=(self.ISeq,), padding_value=self._pad_item)
+            .batch_(batch_size)
+            .tensor_()
+        )
+
+    def _input_tokens(self, seqs: jnp.ndarray) -> jnp.ndarray:
+        """(B, maxlen) item ids → (B, maxlen*L) SID tokens."""
+        toks = self._token_table[seqs]  # (B, maxlen, L)
+        return toks.reshape(seqs.shape[0], -1)
+
+    def fit(self, data: Batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        conv = self.converter
+        input_ids = self._input_tokens(data[self.ISeq])
+        targets = self._token_table[data[self.IPos][:, 0]]  # (B, L)
+        decoder_ids = jnp.concatenate(
+            [jnp.full((targets.shape[0], 1), conv.pad_id, jnp.int32), targets[:, :-1]],
+            axis=1,
+        )
+        logits = self.seq2seq(input_ids, decoder_ids, deterministic=False)
+        from ... import criterions
+
+        weights = (targets != conv.pad_id).astype(jnp.float32)
+        rec_loss = criterions.cross_entropy_with_logits(
+            logits, targets, weights=weights
+        )
+        return rec_loss, {"rec_loss": rec_loss}
+
+    def recommend_from_full(self, data: Batch, buffers: Any = None) -> jnp.ndarray:
+        conv = self.converter
+        input_ids = self._input_tokens(data[self.ISeq])
+        enc_out, enc_mask = self.seq2seq.encode(input_ids)
+
+        def apply_decode(dec_ids, enc_o, enc_m):
+            return self.seq2seq.decode(dec_ids, enc_o, enc_m)
+
+        items, scores = beam_search(
+            apply_decode,
+            enc_out,
+            enc_mask,
+            jnp.asarray(conv.allowed),
+            jnp.asarray(conv.next_node),
+            jnp.asarray(conv.node_item),
+            num_beams=self.num_beams,
+            max_steps=conv.max_num_sid_tokens + 2,
+            start_id=conv.start_id,
+            pad_id=conv.pad_id,
+        )
+        B = items.shape[0]
+        # scatter raised beam scores over uniform background noise
+        # (TIGER/train_t5.py:214-236)
+        noise = (
+            jax.random.uniform(
+                jax.random.PRNGKey(0), (B, self.Item.count + 1)
+            )
+            * BACKGROUND_SCORE_MAX
+        )
+        raised = scores - scores.min(axis=1, keepdims=True) + BEAM_SCORE_BASE
+        safe_items = jnp.where(items >= 0, items, self.Item.count)
+        full = noise.at[jnp.arange(B)[:, None], safe_items].set(raised)
+        return full[:, : self.Item.count]
+
+    def recommend_from_pool(self, data: Batch, buffers: Any = None) -> jnp.ndarray:
+        """Score each pool candidate's SID block by its sequence
+        log-likelihood (TIGER/train_t5.py recommend_from_pool)."""
+        conv = self.converter
+        input_ids = self._input_tokens(data[self.ISeq])
+        enc_out, enc_mask = self.seq2seq.encode(input_ids)
+        cands = data[self.IUnseen]  # (B, K)
+        B, K = cands.shape
+        targets = self._token_table[cands]  # (B, K, L)
+        L = targets.shape[-1]
+        dec_in = jnp.concatenate(
+            [jnp.full((B, K, 1), conv.pad_id, jnp.int32), targets[..., :-1]], axis=-1
+        )
+        enc_out_b = jnp.repeat(enc_out, K, axis=0)
+        enc_mask_b = jnp.repeat(enc_mask, K, axis=0)
+        logits = self.seq2seq.decode(
+            dec_in.reshape(B * K, L), enc_out_b, enc_mask_b
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tgt = targets.reshape(B * K, L)
+        picked = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        mask = (tgt != conv.pad_id).astype(jnp.float32)
+        scores = (picked * mask).sum(-1) / jnp.maximum(mask.sum(-1), 1.0)
+        return scores.reshape(B, K)

@@ -1,0 +1,295 @@
+"""T5-style encoder-decoder + trie-constrained beam search.
+
+Replaces the reference's HF `T5ForConditionalGeneration` + Python
+`prefix_allowed_tokens_fn` host callback (TIGER/train_t5.py:187-210,
+TIGER/converter.py:498-530) with a compact flax implementation shaped
+like T5: RMSNorm pre-normalization, bucketed relative position biases
+(bidirectional encoder / causal decoder), ReLU FFN, tied output head.
+
+Beam search runs fully under jit: SID sequences are ≤ L+2 tokens, so
+each step re-runs the decoder (no KV cache needed at these lengths) and
+the trie's dense `allowed`/`next_node` tables mask and advance beams —
+no host roundtrips (SURVEY.md §7 hard part #6).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["Seq2SeqTransformer", "beam_search"]
+
+NEG_INF = -1e9
+
+
+def _rel_bucket(rel: jnp.ndarray, bidirectional: bool, num_buckets: int, max_dist: int):
+    """T5 relative position bucketization."""
+    ret = 0
+    n = -rel
+    if bidirectional:
+        num_buckets //= 2
+        ret = (n < 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = jnp.maximum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_large = max_exact + (
+        jnp.log(jnp.maximum(n.astype(jnp.float32), 1.0) / max_exact)
+        / jnp.log(max_dist / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_large = jnp.minimum(val_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_large)
+
+
+class RelativePositionBias(nn.Module):
+    num_heads: int
+    bidirectional: bool = True
+    num_buckets: int = 32
+    max_distance: int = 128
+
+    @nn.compact
+    def __call__(self, qlen: int, klen: int) -> jnp.ndarray:
+        ctx = jnp.arange(qlen)[:, None]
+        mem = jnp.arange(klen)[None, :]
+        buckets = _rel_bucket(
+            mem - ctx, self.bidirectional, self.num_buckets, self.max_distance
+        )
+        table = self.param(
+            "rel_embedding",
+            nn.initializers.normal(stddev=0.02),
+            (self.num_buckets, self.num_heads),
+        )
+        return table[buckets].transpose(2, 0, 1)[None]  # (1, H, Q, K)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        return x * jax.lax.rsqrt(var + self.eps) * scale
+
+
+class MultiHeadAttn(nn.Module):
+    dim: int
+    num_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, mask, bias=None, deterministic=True):
+        H = self.num_heads
+        hd = self.dim // H
+        init = nn.initializers.normal(stddev=self.dim**-0.5)
+        q = nn.DenseGeneral((H, hd), use_bias=False, kernel_init=init, name="q")(q_in)
+        k = nn.DenseGeneral((H, hd), use_bias=False, kernel_init=init, name="k")(kv_in)
+        v = nn.DenseGeneral((H, hd), use_bias=False, kernel_init=init, name="v")(kv_in)
+        # T5 does not scale by sqrt(hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        if bias is not None:
+            scores = scores + bias
+        if mask is not None:
+            scores = jnp.where(mask, scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        return nn.DenseGeneral(
+            self.dim, axis=(-2, -1), use_bias=False, kernel_init=init, name="o"
+        )(out)
+
+
+class FFN(nn.Module):
+    dim: int
+    hidden: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        init = nn.initializers.normal(stddev=self.dim**-0.5)
+        h = nn.Dense(self.hidden, use_bias=False, kernel_init=init)(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.Dense(self.dim, use_bias=False, kernel_init=init)(h)
+
+
+class EncoderBlock(nn.Module):
+    dim: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask, bias, deterministic=True):
+        h = MultiHeadAttn(self.dim, self.num_heads, self.dropout)(
+            RMSNorm()(x), RMSNorm()(x), mask, bias, deterministic
+        )
+        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = FFN(self.dim, self.ffn_dim, self.dropout)(
+            RMSNorm()(x), deterministic=deterministic
+        )
+        return x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+
+class DecoderBlock(nn.Module):
+    dim: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, enc, self_mask, cross_mask, bias, deterministic=True):
+        h = MultiHeadAttn(self.dim, self.num_heads, self.dropout, name="self_attn")(
+            RMSNorm()(x), RMSNorm()(x), self_mask, bias, deterministic
+        )
+        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = MultiHeadAttn(self.dim, self.num_heads, self.dropout, name="cross_attn")(
+            RMSNorm()(x), RMSNorm()(enc), cross_mask, None, deterministic
+        )
+        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = FFN(self.dim, self.ffn_dim, self.dropout)(
+            RMSNorm()(x), deterministic=deterministic
+        )
+        return x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+
+class Seq2SeqTransformer(nn.Module):
+    """T5-shaped encoder-decoder over a token vocabulary."""
+
+    vocab_size: int
+    dim: int = 128
+    num_heads: int = 4
+    num_encoder_layers: int = 4
+    num_decoder_layers: int = 4
+    ffn_dim: int = 512
+    dropout: float = 0.1
+    pad_id: int = 0
+
+    def setup(self):
+        self.shared = nn.Embed(
+            self.vocab_size, self.dim,
+            embedding_init=nn.initializers.normal(stddev=1.0),
+        )
+        self.enc_bias = RelativePositionBias(
+            self.num_heads, bidirectional=True, name="enc_bias"
+        )
+        self.dec_bias = RelativePositionBias(
+            self.num_heads, bidirectional=False, name="dec_bias"
+        )
+        self.encoder_blocks = [
+            EncoderBlock(self.dim, self.num_heads, self.ffn_dim, self.dropout)
+            for _ in range(self.num_encoder_layers)
+        ]
+        self.decoder_blocks = [
+            DecoderBlock(self.dim, self.num_heads, self.ffn_dim, self.dropout)
+            for _ in range(self.num_decoder_layers)
+        ]
+        self.enc_final_ln = RMSNorm()
+        self.dec_final_ln = RMSNorm()
+
+    def encode(self, input_ids: jnp.ndarray, deterministic: bool = True):
+        mask = input_ids != self.pad_id  # (B, L)
+        x = self.shared(input_ids)
+        attn_mask = mask[:, None, None, :]  # (B, 1, 1, L)
+        bias = self.enc_bias(input_ids.shape[1], input_ids.shape[1])
+        for block in self.encoder_blocks:
+            x = block(x, attn_mask, bias, deterministic)
+        return self.enc_final_ln(x), mask
+
+    def decode(
+        self,
+        decoder_ids: jnp.ndarray,
+        enc_out: jnp.ndarray,
+        enc_mask: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        Bq = decoder_ids.shape[1]
+        x = self.shared(decoder_ids)
+        causal = jnp.tril(jnp.ones((Bq, Bq), dtype=bool))[None, None]
+        cross = enc_mask[:, None, None, :]
+        bias = self.dec_bias(Bq, Bq)
+        for block in self.decoder_blocks:
+            x = block(x, enc_out, causal, cross, bias, deterministic)
+        x = self.dec_final_ln(x)
+        # tied head, T5-style rescale
+        logits = jnp.einsum(
+            "bld,vd->blv", x * (self.dim**-0.5), self.shared.embedding,
+            preferred_element_type=jnp.float32,
+        )
+        return logits
+
+    def __call__(self, input_ids, decoder_ids, deterministic: bool = True):
+        enc_out, enc_mask = self.encode(input_ids, deterministic)
+        return self.decode(decoder_ids, enc_out, enc_mask, deterministic)
+
+
+def beam_search(
+    apply_decode,
+    enc_out: jnp.ndarray,
+    enc_mask: jnp.ndarray,
+    allowed: jnp.ndarray,  # (num_nodes, V) bool
+    next_node: jnp.ndarray,  # (num_nodes, V) int32
+    node_item: jnp.ndarray,  # (num_nodes,) int32
+    num_beams: int,
+    max_steps: int,
+    start_id: int,
+    pad_id: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Trie-constrained beam search; returns (items (B, K), scores (B, K)).
+
+    apply_decode(decoder_ids (B*, T)) → logits (B*, T, V) given the
+    pre-broadcast encoder state.
+    """
+    B = enc_out.shape[0]
+    V = allowed.shape[1]
+    K = num_beams
+
+    enc_out_b = jnp.repeat(enc_out, K, axis=0)  # (B*K, Le, D)
+    enc_mask_b = jnp.repeat(enc_mask, K, axis=0)
+
+    tokens = jnp.full((B, K, max_steps + 1), pad_id, dtype=jnp.int32)
+    # decoder starts from PAD (T5 decoder_start_token) — position 0
+    scores = jnp.full((B, K), NEG_INF)
+    scores = scores.at[:, 0].set(0.0)  # only beam 0 live at t=0
+    nodes = jnp.zeros((B, K), dtype=jnp.int32)  # trie root
+
+    def step(t, state):
+        tokens, scores, nodes = state
+        dec_in = tokens.reshape(B * K, max_steps + 1)
+        logits = apply_decode(dec_in, enc_out_b, enc_mask_b)  # (B*K, T, V)
+        logits = logits[:, t, :].reshape(B, K, V)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ok = allowed[nodes]  # (B, K, V)
+        terminal = node_item[nodes] >= 0  # (B, K)
+        # terminal beams: force PAD with 0 logprob (score frozen)
+        pad_onehot = jnp.zeros((V,), bool).at[pad_id].set(True)
+        ok = jnp.where(terminal[..., None], pad_onehot[None, None], ok)
+        logp = jnp.where(ok, logp, NEG_INF)
+        logp = jnp.where(
+            terminal[..., None] & pad_onehot[None, None], 0.0, logp
+        )
+        cand = scores[..., None] + logp  # (B, K, V)
+        flat = cand.reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(flat, K)
+        beam_idx = top_idx // V
+        tok_idx = top_idx % V
+        new_tokens = jnp.take_along_axis(
+            tokens, beam_idx[..., None], axis=1
+        )
+        new_tokens = new_tokens.at[:, :, t + 1].set(tok_idx)
+        new_nodes = next_node[
+            jnp.take_along_axis(nodes, beam_idx, axis=1), tok_idx
+        ]
+        return new_tokens, top_scores, new_nodes
+
+    tokens, scores, nodes = jax.lax.fori_loop(
+        0, max_steps, step, (tokens, scores, nodes)
+    )
+    items = node_item[nodes]  # (B, K); -1 for dead beams
+    return items, scores

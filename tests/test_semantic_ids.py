@@ -1,0 +1,182 @@
+"""Semantic-ID stack tests: quantizers, k-means, converter/trie,
+seq2seq + constrained beam search, RQVAE + TIGER end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from test_models_smoke import _first_batch, _fit_loss
+
+
+def test_sinkhorn_balances():
+    from recboard_tpu.sem.quantizers import sinkhorn_assignment
+
+    rng = np.random.default_rng(0)
+    dist = jnp.asarray(rng.random((64, 8)), jnp.float32)
+    Q = sinkhorn_assignment(dist, 0.05, 100)
+    # columns sum to 1 per sample; prototypes get ~B/K mass
+    np.testing.assert_allclose(np.asarray(Q.sum(1)), 1.0, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(Q.sum(0)), 64 / 8, rtol=0.05)
+
+
+def test_kmeans_and_sids():
+    from recboard_tpu.sem.kmeans import kmeans, product_kmeans_sids, residual_kmeans_sids
+
+    rng = np.random.default_rng(0)
+    # 3 well-separated blobs
+    x = np.concatenate(
+        [rng.normal(loc=c, scale=0.1, size=(30, 4)) for c in (-5, 0, 5)]
+    )
+    centers, labels = kmeans(x, 3, iters=10, seed=0)
+    assert len(set(labels[:30])) == 1 and len(set(labels[60:])) == 1
+    centers, labels = kmeans(x, 3, iters=10, seed=0, size_min=25)
+    assert np.bincount(labels, minlength=3).min() >= 25
+    sids = residual_kmeans_sids(x, num_codebooks=2, num_codewords=4, iters=5)
+    assert sids.shape == (90, 2)
+    sids = product_kmeans_sids(x, num_codebooks=2, num_codewords=4, iters=5)
+    assert sids.shape == (90, 2)
+
+
+@pytest.mark.parametrize("strategy", ["ste", "gumbel", "rotation", "simvq", "product"])
+def test_quantizers(strategy):
+    from recboard_tpu.sem.quantizers import (
+        ProductQuantizer,
+        ResidualQuantizer,
+        ResidualSimVQQuantizer,
+    )
+
+    D = 8
+    if strategy == "simvq":
+        q = ResidualSimVQQuantizer(codebook_dim=D, num_codebooks=2, num_codewords=8)
+    elif strategy == "product":
+        q = ProductQuantizer(codebook_dim=D, num_codebooks=2, num_codewords=8)
+    else:
+        q = ResidualQuantizer(
+            codebook_dim=D, num_codebooks=2, num_codewords=8, estimator=strategy
+        )
+    dim_in = D * 2 if strategy == "product" else D
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(16, dim_in)), jnp.float32)
+    variables = q.init({"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, z)
+    z_hat, loss, ids = q.apply(
+        variables, z, rngs={"sampling": jax.random.PRNGKey(2)}
+    )
+    assert z_hat.shape == z.shape
+    assert ids.shape == (16, 2)
+    assert float(loss) >= 0
+    # gradients flow to the input through the estimator
+    g = jax.grad(
+        lambda zz: q.apply(
+            variables, zz, rngs={"sampling": jax.random.PRNGKey(2)}
+        )[0].sum()
+    )(z)
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_converter_and_trie():
+    from recboard_tpu.sem.converter import SemIDConverter
+
+    codes = np.array([[0, 1], [0, 2], [1, 1], [0, 1]])  # items 0 & 3 collide
+    conv = SemIDConverter.from_codes(codes)
+    assert conv.collision_rate > 0
+    # collision resolved with check tokens; round trips still work
+    for i in range(4):
+        text = conv.encode(conv.format(i))
+        assert conv.decode(text) == [i]
+    # trie: from root only <SID> is allowed
+    assert conv.allowed_tokens([]) == (conv.start_id,)
+    # after <SID>, only first-level sids present in vocab
+    nxt = conv.allowed_tokens([conv.start_id])
+    names = {t for t in nxt}
+    assert conv.tokenizer.convert_tokens_to_ids("<sid_0_0>") in names
+    assert conv.tokenizer.convert_tokens_to_ids("<sid_0_1>") in names
+    assert conv.end_id not in names
+    # dense tables are consistent: every item's token path is accepted
+    for i in range(4):
+        node = 0
+        for t in conv.item_token_ids[i][: conv.item_token_lengths[i]]:
+            assert conv.allowed[node, t]
+            node = conv.next_node[node, t]
+        assert conv.node_item[node] == i
+
+
+def test_seq2seq_and_constrained_beam(tiny_dataset):
+    from recboard_tpu.models.zoo import TIGER
+    from recboard_tpu.sem.converter import SemIDConverter
+
+    I = tiny_dataset.fields["ITEM", "ID"].count
+    rng = np.random.default_rng(0)
+    codes = np.stack(
+        [rng.integers(0, 6, size=I), rng.integers(0, 6, size=I)], axis=1
+    )
+    conv = SemIDConverter.from_codes(codes)
+    model = TIGER(
+        tiny_dataset, converter=conv, maxlen=6, num_beams=4, embedding_dim=32,
+        num_heads=2, num_encoder_layers=1, num_decoder_layers=1, ffn_dim=64,
+        dropout_rate=0.0,
+    )
+    batch = _first_batch(model.sure_trainpipe(6, 8))
+    losses, params = _fit_loss(model, batch, steps=20, lr=0.01)
+    assert losses[-1] < losses[0]
+
+    eval_batch = _first_batch(model.sure_validpipe(6, "full", batch_size=4))
+    scores = model.apply(
+        {"params": params}, eval_batch, None, method="recommend_from_full"
+    )
+    assert scores.shape == (4, I)
+    # beam hits are raised above the background noise
+    assert float(jnp.max(scores)) >= 1.0
+    # every row has at least num_beams-ish raised entries ≤ num_beams
+    raised = (np.asarray(scores) >= 1.0).sum(axis=1)
+    assert (raised >= 1).all() and (raised <= model.num_beams).all()
+
+    pool = model.apply(
+        {"params": params},
+        {model.ISeq: eval_batch[model.ISeq],
+         model.IUnseen: jnp.arange(5)[None].repeat(4, 0)},
+        None,
+        method="recommend_from_pool",
+    )
+    assert pool.shape == (4, 5)
+
+
+def test_rqvae_trains_and_emits_vocab(tiny_dataset, tmp_path):
+    import os
+
+    from recboard_tpu.models.zoo import RQVAE, RQVAECoach
+    from recboard_tpu.parser import Parser
+
+    I = tiny_dataset.fields["ITEM", "ID"].count
+    feats = np.random.default_rng(0).normal(size=(I, 16)).astype(np.float32)
+    p = Parser()
+    p.set_defaults(
+        description="RQVAE", root="unused", epochs=3, batch_size=32, lr=1e-3,
+        eval_freq=1, log2file=False, log2console=False,
+        log_path=str(tmp_path / "logs"), checkpoint_path=str(tmp_path / "infos"),
+        monitors=["LOSS"], which4best="PPL", dataset="tiny",
+    )
+    cfg = p.compile([])
+    model = RQVAE(
+        tiny_dataset, item_features=feats, hidden_dims=(32,), codebook_dim=8,
+        num_codebooks=2, num_codewords=8,
+    )
+    coach = RQVAECoach(
+        dataset=tiny_dataset,
+        trainpipe=model.sure_trainpipe(32),
+        validpipe=None,
+        testpipe=None,
+        model=model,
+        cfg=cfg,
+    )
+    for epoch in range(3):
+        coach.train(epoch)
+    coach.evaluate(2, mode="valid")
+    summary = coach._flush("valid", 2)
+    assert 1.0 <= summary["PPL"] <= 8.0
+    assert 0.0 <= summary["COLLISION_RATE"] <= 1.0
+    vocab_file = coach.save_sid_vocab(str(tmp_path / "sid_vocab.json"))
+    assert os.path.isfile(vocab_file)
+    from recboard_tpu.sem.converter import SemIDConverter
+
+    conv = SemIDConverter.load(vocab_file)
+    assert len(conv.sid_vocab) == I
