@@ -68,8 +68,17 @@ class Field:
             and self.tags == other.tags
         )
 
-    def __lt__(self, other: "Field") -> bool:  # total order → jit-stable keys
-        return self._sort_key() < other._sort_key()
+    def __lt__(self, other) -> bool:  # total order → jit-stable keys
+        if isinstance(other, Field):
+            return self._sort_key() < other._sort_key()
+        # batches may mix Field keys with plain-string keys; order by
+        # type name first so sorted() over mixed dicts is well-defined
+        return type(self).__name__ < type(other).__name__
+
+    def __gt__(self, other) -> bool:
+        if isinstance(other, Field):
+            return other._sort_key() < self._sort_key()
+        return type(self).__name__ > type(other).__name__
 
     def _sort_key(self) -> Tuple:
         return (self.name, tuple(sorted(t.value for t in self.tags)))

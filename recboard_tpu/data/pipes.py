@@ -895,6 +895,8 @@ def collate(batch: List[Row]) -> Row:
             out[f] = np.asarray(values, dtype=dtype)
         elif isinstance(first, np.ndarray):
             out[f] = np.stack(values)
+        elif isinstance(first, str) and all(v == first for v in values):
+            out[f] = first  # constant mark_ metadata (dataset name)
         else:
             out[f] = values
     out[Size] = len(batch)

@@ -392,10 +392,11 @@ class Coach:
         seen = data.get(ISeen)
         unseen = data.get(IUnseen)
         out: Dict[str, Any] = {}
-        N = model.Item.count
+        # fill with an always-out-of-bounds id → dropped by the scatter
+        # (catalog width varies per dataset under UniSRec-style eval)
         out["seen_ids"] = (
-            pad_ragged(seen, fill=N) if seen is not None else None
-        )  # fill=N → dropped by scatter
+            pad_ragged(seen, fill=2**30) if seen is not None else None
+        )
         if unseen is not None:
             if self.ranking == "pool":
                 # candidate ids for pool scoring; target is column 0
@@ -428,18 +429,20 @@ class Coach:
                 out[key] = pad_rows(out[key])
         return batch, out, valid_rows, B
 
-    def _eval_step_fn(self, ranking: str):
-        key = ("eval", ranking, self.remove_seen)
+    def _eval_step_fn(self, ranking: str, marks: Tuple = ()):
+        key = ("eval", ranking, self.remove_seen, marks)
         if key not in self._jit_cache:
             model = self.model
             wanted = tuple(
                 (b, k) for b, k in self._wanted if b in metrics_lib.RANK_METRICS
             )
+            static_marks = dict(marks)
 
             def step(params, buffers, batch, seen_ids, target_ids, valid_rows):
                 method = (
                     "recommend_from_full" if ranking == "full" else "recommend_from_pool"
                 )
+                batch = {**batch, **static_marks}
                 scores = model.apply(
                     {"params": params}, batch, buffers, method=method
                 )
@@ -468,13 +471,18 @@ class Coach:
         buffers = self.model.apply(
             {"params": self.state.params}, method="reset_ranking_buffers"
         )
-        fn = self._eval_step_fn(self.ranking)
         pool = [
             metrics_lib.fmt_metric(b, k)
             for b, k in self._wanted
             if b in metrics_lib.RANK_METRICS
         ]
         for data in pipe:
+            # string-keyed marks (e.g. data["dataset"] from mark_) are
+            # static per-pipe values → threaded via the jit cache key
+            marks = tuple(
+                sorted((k, v) for k, v in data.items() if isinstance(k, str))
+            )
+            fn = self._eval_step_fn(self.ranking, marks)
             batch, aux, valid_rows, B = self._densify_eval_batch(data)
             batch = {f: jnp.asarray(v) for f, v in batch.items()}
             sums = fn(
@@ -487,9 +495,12 @@ class Coach:
             )
             sums = {k: float(v) for k, v in sums.items()}
             values = [sums[name] / max(B, 1) for name in pool if name in sums]
-            self.monitor(
-                *values, n=B, reduction="mean", mode=mode, pool=pool
-            )
+            self.monitor(*values, n=B, reduction="mean", mode=mode, pool=pool)
+            mark_dict = dict(marks)
+            if "dataset" in mark_dict:
+                # per-dataset namespaced metrics (UniSRec/main.py:443-446)
+                ns_pool = [f"{mark_dict['dataset']}${name}" for name in pool]
+                self.monitor(*values, n=B, reduction="mean", mode=mode, pool=ns_pool)
 
     def _evaluate_prediction(self, epoch: int, mode: str) -> None:
         """CTR eval: accumulate sigmoid scores + labels; global AUC and

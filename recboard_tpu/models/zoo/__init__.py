@@ -46,6 +46,20 @@ from . import multimodal  # noqa: F401,E402
 from .multimodal import BM3, FREEDOM, LATTICE, MGCN, MMGCN  # noqa: F401,E402
 from . import tiger  # noqa: F401,E402
 from .tiger import RQVAE, RQVAECoach, TIGER  # noqa: F401,E402
+from . import lessr  # noqa: F401,E402
+from . import sevo  # noqa: F401,E402
+from .lessr import LESSR  # noqa: F401,E402
+from .sevo import SEvo, SEvoCoach  # noqa: F401,E402
+from . import unisrec  # noqa: F401,E402
+from .unisrec import UniSRec  # noqa: F401,E402
+from . import ccfrec  # noqa: F401,E402
+from . import e4srec  # noqa: F401,E402
+from .ccfrec import CCFRec  # noqa: F401,E402
+from .e4srec import E4SRec  # noqa: F401,E402
+from . import etegrec  # noqa: F401,E402
+from .etegrec import ETEGRec, ETEGRecCoach  # noqa: F401,E402
+from . import diger  # noqa: F401,E402
+from .diger import DIGER, DIGERCoach  # noqa: F401,E402
 from .fmlp_rec import FMLPRec  # noqa: F401,E402
 from .ctr import DCN, DeepFM  # noqa: F401,E402
 from . import neumf  # noqa: F401,E402

@@ -29,9 +29,9 @@ def _clamped_xavier(key, shape, dtype=jnp.float32):
 
 @register("BERT4Rec")
 class BERT4Rec(SeqRecArch):
-    NUM_PADS = 2
-    PADDING_VALUE = 0
-    MASKING_VALUE = 1
+    NUM_PADS: int = 2
+    PADDING_VALUE: int = 0
+    MASKING_VALUE: int = 1
 
     maxlen: int = 50
     num_heads: int = 2

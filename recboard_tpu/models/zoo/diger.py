@@ -1,0 +1,98 @@
+"""DIGER: joint ID-encoder + residual quantizer + code-token T5,
+refreshing semantic IDs every epoch.
+
+Reference: DIGER/main.py:78-500 + DIGER/modules.py:60-112 — trainable
+item embeddings initialized from semantic features → MLP ID encoder →
+Gumbel residual quantizer; T5 predicts the target item's code tokens;
+losses combined per step (no alternating cycles, DIGER/main.py:289-330):
+rec = w_code·code_loss/(2σ²) + log σ (learned uncertainty) +
+w_recon·recon + w_vq·vq; semantic IDs refreshed before each epoch
+(DIGER/main.py:78 docstring step 3).
+
+Implementation shares the ETEGRec machinery (code tokens → shared
+seq2seq, per-epoch refresh + trie rebuild in the coach)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ... import criterions
+from . import register
+from .etegrec import ETEGRec, ETEGRecCoach
+
+
+@register("DIGER")
+class DIGER(ETEGRec):
+    tokenizer_estimator: str = "gumbel"
+    code_loss_weight: float = 1.0
+    recon_loss_weight: float = 1.0
+    vq_loss_weight: float = 1.0
+    sigma_lambda: float = 0.05
+    gumbel_tau: float = 1.0
+
+    def setup(self):
+        super().setup()
+        self.sigma = self.param("sigma", nn.initializers.ones, (1,))
+
+    def fit(self, data, train_id: bool = True):
+        item_code = data["item_code"]
+        seqs = data[self.ISeq]
+        B = seqs.shape[0]
+
+        input_codes = item_code[seqs]
+        input_tokens = self._code_tokens(jnp.maximum(input_codes, 0))
+        input_tokens = jnp.where(
+            (input_codes >= 0) & (seqs != self.PADDING_VALUE)[..., None],
+            input_tokens,
+            0,
+        ).reshape(B, -1)
+
+        targets = data[self.IPos][:, 0]
+        label_codes = item_code[targets]
+        label_tokens = self._code_tokens(label_codes)
+        dec_in = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), label_tokens[:, :-1]], axis=1
+        )
+        enc_out, enc_mask = self.seq2seq.encode(input_tokens, deterministic=False)
+        dec_hidden = self._decode_hidden(dec_in, enc_out, enc_mask, False)
+        logits = self._token_logits(dec_hidden)
+        code_loss = criterions.cross_entropy_with_logits(logits, label_tokens)
+
+        # learned-uncertainty weighting (DIGER/main.py:326-333)
+        sigma = jnp.clip(jnp.abs(self.sigma[0]) + self.sigma_lambda, 1e-6)
+        code_loss_u = code_loss / (2 * sigma**2) + jnp.log(sigma)
+
+        target_feats = self.semantic_embedding[targets]
+        latents = self.tok_encode(target_feats)
+        z_hat, vq_loss, _, _ = self.rq.quantize_with_logits(latents)
+        recon_loss = jnp.sum(jnp.square(z_hat - latents)) / latents.shape[0]
+
+        loss = (
+            self.code_loss_weight * code_loss_u
+            + self.recon_loss_weight * recon_loss
+            + self.vq_loss_weight * vq_loss
+        )
+        return loss, {
+            "rec_loss": loss,
+            "code_loss": code_loss,
+            "recon_loss": recon_loss,
+            "vq_loss": vq_loss,
+            "sigma": sigma,
+        }
+
+
+class DIGERCoach(ETEGRecCoach):
+    """Refreshes semantic IDs before every epoch; joint optimization
+    (no alternating phases)."""
+
+    cycle: int = 1
+
+    def train(self, epoch: int):
+        if self.state is not None:
+            self.refresh_item_codes()
+        self._train_id = True
+        return super(ETEGRecCoach, self).train(epoch)

@@ -1,0 +1,186 @@
+"""E4SRec: LLM-backed sequential recommendation with LoRA.
+
+Reference: E4SRec/main.py:63-260 — frozen pretrained item-ID embeddings
+→ linear adaptor into the LLM's hidden space, concatenated between
+frozen instruction/response prompt embeddings; an 8-bit LLaMA backbone
+is frozen with LoRA adapters; last hidden state → linear projection to
+item logits, CE; only {adaptor, LoRA, output head} are saved/trained
+(E4SRec/main.py:215-260).
+
+Environment note: no pretrained LLaMA weights exist in this zero-egress
+image, so the backbone here is a compact decoder-only transformer with
+the same wiring — frozen base weights (stop_gradient) + trainable LoRA
+A/B on the attention projections — preserving E4SRec's training
+protocol (what is frozen vs trained, the prompt sandwich, the output
+head). Loading real pretrained weights is a parameter-injection away
+(the backbone params are an ordinary flax pytree).
+
+Quantized (8-bit) inference is optional scope per SURVEY.md §2.1; the
+LoRA math here runs in full precision.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import criterions
+from ..base import Batch, SeqRecArch
+from . import register
+
+_init02 = nn.initializers.normal(stddev=0.02)
+
+
+class LoRADense(nn.Module):
+    """Frozen base Dense + trainable low-rank update (peft-style)."""
+
+    features: int
+    rank: int = 8
+    alpha: float = 16.0
+
+    @nn.compact
+    def __call__(self, x):
+        base = self.param("base_kernel", _init02, (x.shape[-1], self.features))
+        A = self.param("lora_A", nn.initializers.normal(0.01), (x.shape[-1], self.rank))
+        B = self.param("lora_B", nn.initializers.zeros, (self.rank, self.features))
+        y = x @ jax.lax.stop_gradient(base)  # frozen pretrained weight
+        return y + (x @ A) @ B * (self.alpha / self.rank)
+
+
+class DecoderBlock(nn.Module):
+    dim: int
+    num_heads: int
+    lora_rank: int
+
+    @nn.compact
+    def __call__(self, x, attn_mask):
+        H, hd = self.num_heads, self.dim // self.num_heads
+        h = nn.LayerNorm()(x)
+        q = LoRADense(self.dim, self.lora_rank, name="q_proj")(h)
+        k = LoRADense(self.dim, self.lora_rank, name="k_proj")(h)
+        v = LoRADense(self.dim, self.lora_rank, name="v_proj")(h)
+        B, L, _ = x.shape
+        qh = q.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+        kh = k.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / (hd**0.5)
+        scores = scores + attn_mask
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, self.dim)
+        x = x + LoRADense(self.dim, self.lora_rank, name="o_proj")(ctx)
+        h = nn.LayerNorm()(x)
+        f = nn.Dense(self.dim * 4, kernel_init=_init02, name="up")(h)
+        f = nn.silu(f)
+        f = nn.Dense(self.dim, kernel_init=_init02, name="down")(f)
+        # FFN weights are backbone weights: frozen at the OPTIMIZER level
+        # (trainable_labels), gradients still flow through activations
+        return x + f
+
+
+@register("E4SRec")
+class E4SRec(SeqRecArch):
+    item_features: Optional[np.ndarray] = None  # frozen pretrained ID embds
+    maxlen: int = 50
+    backbone_dim: int = 128
+    num_blocks: int = 2
+    num_heads: int = 4
+    lora_rank: int = 8
+    num_prompt_tokens: int = 4  # instruction sandwich length
+    num_response_tokens: int = 2
+
+    def setup(self):
+        feats = np.asarray(self.item_features, np.float32)
+        feats = np.concatenate(
+            [np.zeros((self.NUM_PADS, feats.shape[1]), np.float32), feats], axis=0
+        )
+        self._feats = jnp.asarray(feats)
+        self.adaptor = nn.Dense(self.backbone_dim, kernel_init=_init02)
+        # frozen prompt embeddings (stand-ins for tokenized instructions)
+        self.instruct_embds = self.param(
+            "instruct_embds", _init02, (self.num_prompt_tokens, self.backbone_dim)
+        )
+        self.response_embds = self.param(
+            "response_embds", _init02, (self.num_response_tokens, self.backbone_dim)
+        )
+        self.blocks = [
+            DecoderBlock(self.backbone_dim, self.num_heads, self.lora_rank,
+                         name=f"block_{i}")
+            for i in range(self.num_blocks)
+        ]
+        self.final_ln = nn.LayerNorm()
+        self.output_proj = nn.Dense(
+            self.Item.count + self.NUM_PADS, use_bias=False, kernel_init=_init02
+        )
+
+    def sure_trainpipe(self, maxlen: int, batch_size: int):
+        return (
+            self.dataset.train()
+            .shuffled_roll_seqs_source(maxlen=maxlen, keep_at_least_itself=True)
+            .seq_train_yielding_pos_(start_idx_for_target=-1, end_idx_for_input=-1)
+            .add_(offset=self.NUM_PADS, modified_fields=(self.ISeq, self.IPos))
+            .lpad_(maxlen, modified_fields=(self.ISeq,), padding_value=self.PADDING_VALUE)
+            .batch_(batch_size)
+            .tensor_()
+        )
+
+    def encode(self, data: Batch) -> jnp.ndarray:
+        seqs = data[self.ISeq]
+        B, L = seqs.shape
+        seq_embds = self.adaptor(self._feats[seqs])  # (B, L, D)
+        instruct = jax.lax.stop_gradient(self.instruct_embds)[None].repeat(B, 0)
+        response = jax.lax.stop_gradient(self.response_embds)[None].repeat(B, 0)
+        x = jnp.concatenate([instruct, seq_embds, response], axis=1)
+        total = x.shape[1]
+        valid = jnp.concatenate(
+            [
+                jnp.ones((B, self.num_prompt_tokens), bool),
+                seqs != self.PADDING_VALUE,
+                jnp.ones((B, self.num_response_tokens), bool),
+            ],
+            axis=1,
+        )
+        causal = jnp.tril(jnp.ones((total, total), bool))
+        mask = jnp.where(
+            valid[:, None, None, :] & causal[None, None], 0.0, -1e4
+        )
+        for block in self.blocks:
+            x = block(x, mask)
+        return self.final_ln(x)[:, -1]
+
+    def fit(self, data: Batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        user = self.encode(data)
+        logits = self.output_proj(user)
+        rec_loss = criterions.cross_entropy_with_logits(
+            logits, data[self.IPos][:, 0]
+        )
+        return rec_loss, {"rec_loss": rec_loss}
+
+    def recommend_from_full(self, data: Batch, buffers: Any = None) -> jnp.ndarray:
+        user = self.encode(data)
+        return self.output_proj(user)[:, self.NUM_PADS :]
+
+    def recommend_from_pool(self, data: Batch, buffers: Any = None) -> jnp.ndarray:
+        scores = self.recommend_from_full(data)
+        return jnp.take_along_axis(scores, data[self.IUnseen], axis=1)
+
+    def trainable_labels(self, params) -> Any:
+        """'trainable' for adaptor/LoRA/output head, 'frozen' elsewhere —
+        the E4SRec protocol (only these are optimized/saved,
+        E4SRec/main.py:215-246). Use with optax.multi_transform."""
+
+        def label(path, leaf):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            trainable = (
+                "adaptor" in name
+                or "lora_" in name
+                or "output_proj" in name
+                or "LayerNorm" in name
+            )
+            return "trainable" if trainable else "frozen"
+
+        return jax.tree_util.tree_map_with_path(label, params)

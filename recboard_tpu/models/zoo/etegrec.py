@@ -1,0 +1,515 @@
+"""ETEGRec: end-to-end joint tokenizer + generative recommender.
+
+Reference: ETEGRec/train_etegrec.py:107-652 + ETEGRec/modules.py —
+components: (a) tokenizer (RQ-VAE over a learnable semantic item table,
+emitting reconstructions + per-level code logits), (b) a T5 generator
+over code tokens whose labels are the target item's code (+ a conflict
+check digit, code_length = num_codebooks + 1); losses: token CE
+("code_loss"), symmetric KL between the sequence latent's code logits
+and the target item's code logits ("kl_loss"), symmetric InfoNCE
+between decoder latents and tokenizer reconstructions ("dec_cl_loss"),
+plus the VQ recon loss in the tokenizer phase; alternating id/rec
+optimization cycles with item codes refreshed per cycle
+(refresh_item_codes, :225-264).
+
+TPU mapping: codes → flat token ids (level offsets) feed the shared
+sem/seq2seq T5; generation reuses the jitted trie-constrained beam
+search over the refreshed codes; the alternating-phase trainable-set
+switch is an optimizer-mask concern (ETEGRecCoach labels params).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import criterions
+from ...launcher import Coach
+from ...sem.quantizers import ResidualQuantizer
+from ...sem.seq2seq import Seq2SeqTransformer, beam_search
+from ..base import Batch, SeqRecArch
+from ..modules import xavier_normal
+from . import register
+
+
+def codes_with_check_digit(
+    codes: np.ndarray, max_rank: Optional[int] = None
+) -> np.ndarray:
+    """Append a per-collision-group rank digit (refresh_item_codes,
+    ETEGRec/train_etegrec.py:235-247). The reference raises when a
+    conflict group exceeds the codebook size; we clamp and warn so a
+    collapsed early-training codebook doesn't kill the run."""
+    groups: Dict[Tuple[int, ...], int] = {}
+    out = np.zeros((codes.shape[0], codes.shape[1] + 1), dtype=np.int64)
+    overflow = 0
+    for i, row in enumerate(np.asarray(codes).tolist()):
+        key = tuple(row)
+        rank = groups.get(key, 0)
+        groups[key] = rank + 1
+        if max_rank is not None and rank >= max_rank:
+            overflow += 1
+            rank = max_rank - 1
+        out[i] = row + [rank]
+    if overflow:
+        from ... import utils
+
+        utils.warnLogger(
+            f"[ETEGRec] >>> {overflow} items exceeded the check-digit space "
+            f"(conflict > {max_rank}); codes are temporarily ambiguous"
+        )
+    return out
+
+
+@register("ETEGRec")
+class ETEGRec(SeqRecArch):
+    NUM_PADS: int = 1
+    PADDING_VALUE: int = 0
+
+    item_features: Optional[np.ndarray] = None  # semantic features (N, F)
+    maxlen: int = 20
+    num_codebooks: int = 3
+    num_codewords: int = 256
+    codebook_dim: int = 32
+    hidden_dims: Tuple[int, ...] = (128,)
+    commit_weight: float = 0.25
+    embedding_dim: int = 128
+    num_heads: int = 4
+    num_layers: int = 2
+    num_decoder_layers: int = 2
+    ffn_dim: int = 512
+    dropout_rate: float = 0.1
+    num_beams: int = 10
+    temperature: float = 0.07
+    kl_weight: float = 1e-3
+    dec_cl_weight: float = 1e-3
+    quant_loss_weight: float = 1.0
+    tokenizer_estimator: str = "ste"
+
+    # token layout: 0 PAD, then level l code c → 1 + l*K + c; check digit
+    # level gets its own block
+    @property
+    def code_length(self) -> int:
+        return self.num_codebooks + 1
+
+    @property
+    def token_vocab(self) -> int:
+        return 1 + self.code_length * self.num_codewords
+
+    def _code_tokens(self, codes: jnp.ndarray) -> jnp.ndarray:
+        """(.., code_length) codes → flat token ids."""
+        offsets = 1 + jnp.arange(self.code_length) * self.num_codewords
+        return codes + offsets
+
+    def setup(self):
+        feats = np.asarray(self.item_features, np.float32)
+        feats = np.concatenate(
+            [np.zeros((self.NUM_PADS, feats.shape[1]), np.float32), feats], axis=0
+        )
+        self.semantic_embedding = self.param(
+            "semantic_embedding", lambda k, s: jnp.asarray(feats), feats.shape
+        )
+        dims = [feats.shape[1], *self.hidden_dims, self.codebook_dim]
+        self.enc_layers = [
+            nn.Dense(d, use_bias=False, kernel_init=xavier_normal) for d in dims[1:]
+        ]
+        self.dec_layers = [
+            nn.Dense(d, use_bias=False, kernel_init=xavier_normal)
+            for d in dims[::-1][1:]
+        ]
+        self.rq = ResidualQuantizer(
+            codebook_dim=self.codebook_dim,
+            num_codebooks=self.num_codebooks,
+            num_codewords=self.num_codewords,
+            commit_weight=self.commit_weight,
+            estimator=self.tokenizer_estimator,
+        )
+        self.seq2seq = Seq2SeqTransformer(
+            vocab_size=self.token_vocab,
+            dim=self.embedding_dim,
+            num_heads=self.num_heads,
+            num_encoder_layers=self.num_layers,
+            num_decoder_layers=self.num_decoder_layers,
+            ffn_dim=self.ffn_dim,
+            dropout=self.dropout_rate,
+            pad_id=0,
+        )
+        self.seq_project = nn.Dense(self.codebook_dim, kernel_init=xavier_normal)
+        self.dec_project = nn.Dense(feats.shape[1], kernel_init=xavier_normal)
+
+    # ----------------------------------------------------------- tokenizer
+    def tok_encode(self, x):
+        for i, layer in enumerate(self.enc_layers):
+            x = layer(x)
+            if i < len(self.enc_layers) - 1:
+                x = nn.silu(x)
+        return x
+
+    def tok_decode(self, q):
+        for i, layer in enumerate(self.dec_layers):
+            q = layer(q)
+            if i < len(self.dec_layers) - 1:
+                q = nn.silu(q)
+        return q
+
+    def tokenizer_forward(self, feats):
+        z = self.tok_encode(feats)
+        z_hat, vq_loss, ids, logits = self.rq.quantize_with_logits(z)
+        recon = self.tok_decode(z_hat)
+        return recon, vq_loss, ids, logits
+
+    def current_codes(self) -> jnp.ndarray:
+        """Raw (N_items, L) codes of the semantic table (pre check digit)."""
+        feats = self.semantic_embedding[self.NUM_PADS :]
+        return self.rq.get_indices(self.tok_encode(feats))
+
+    # ---------------------------------------------------------------- pipes
+    def sure_trainpipe(self, maxlen: int, batch_size: int):
+        return (
+            self.dataset.train()
+            .shuffled_seqs_source(maxlen=maxlen + 1)
+            .seq_train_yielding_pos_(start_idx_for_target=-1, end_idx_for_input=-1)
+            .add_(offset=self.NUM_PADS, modified_fields=(self.ISeq, self.IPos))
+            .rpad_(maxlen, modified_fields=(self.ISeq,), padding_value=self.PADDING_VALUE)
+            .batch_(batch_size)
+            .tensor_()
+        )
+
+    def sure_validpipe(self, maxlen: int, ranking: str = "full", batch_size: int = 256):
+        return (
+            self.dataset.valid()
+            .ordered_user_ids_source()
+            .valid_sampling_(ranking)
+            .lprune_(maxlen, modified_fields=(self.ISeq,))
+            .add_(self.NUM_PADS, modified_fields=(self.ISeq,))
+            .rpad_(maxlen, modified_fields=(self.ISeq,), padding_value=self.PADDING_VALUE)
+            .batch_(batch_size)
+            .tensor_()
+        )
+
+    def sure_testpipe(self, maxlen: int, ranking: str = "full", batch_size: int = 256):
+        return (
+            self.dataset.test()
+            .ordered_user_ids_source()
+            .test_sampling_(ranking)
+            .lprune_(maxlen, modified_fields=(self.ISeq,))
+            .add_(self.NUM_PADS, modified_fields=(self.ISeq,))
+            .rpad_(maxlen, modified_fields=(self.ISeq,), padding_value=self.PADDING_VALUE)
+            .batch_(batch_size)
+            .tensor_()
+        )
+
+    # ------------------------------------------------------------ training
+    def fit(self, data: Batch, train_id: bool = False):
+        """`all_item_code` (N+1, code_length) is threaded by the Coach as
+        a batch entry ('item_code'); -1 marks the PAD item row."""
+        item_code = data["item_code"]  # (N+1, Lc)
+        seqs = data[self.ISeq]
+        B = seqs.shape[0]
+        Lc = self.code_length
+
+        input_codes = item_code[seqs]  # (B, S, Lc)
+        input_tokens = self._code_tokens(jnp.maximum(input_codes, 0))
+        input_tokens = jnp.where(
+            (input_codes >= 0) & (seqs != self.PADDING_VALUE)[..., None],
+            input_tokens,
+            0,
+        ).reshape(B, -1)
+
+        targets = data[self.IPos][:, 0]
+        label_codes = item_code[targets]  # (B, Lc)
+        label_tokens = self._code_tokens(label_codes)
+
+        dec_in = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), label_tokens[:, :-1]], axis=1
+        )
+        enc_out, enc_mask = self.seq2seq.encode(input_tokens, deterministic=False)
+        dec_hidden = self._decode_hidden(dec_in, enc_out, enc_mask, False)
+        logits = self._token_logits(dec_hidden)
+        code_loss = criterions.cross_entropy_with_logits(logits, label_tokens)
+
+        # alignment: sequence latent vs target tokenizer logits
+        seq_latent = self.seq_project(
+            (enc_out * enc_mask[..., None]).sum(1)
+            / jnp.maximum(enc_mask.sum(1, keepdims=True), 1.0)
+        )  # (B, dc)
+        target_feats = self.semantic_embedding[targets]
+        target_recon, vq_loss, _, target_logits = self.tokenizer_forward(target_feats)
+        _, _, _, seq_logits = self.rq.quantize_with_logits(seq_latent)
+
+        def sym_kl(a, b):
+            pa = jax.nn.log_softmax(a.reshape(-1, self.num_codewords), axis=-1)
+            pb = jax.nn.log_softmax(b.reshape(-1, self.num_codewords), axis=-1)
+            kl = jnp.sum(jnp.exp(pb) * (pb - pa), axis=-1).mean()
+            kr = jnp.sum(jnp.exp(pa) * (pa - pb), axis=-1).mean()
+            return kl + kr
+
+        kl_loss = sym_kl(seq_logits, target_logits)
+
+        dec_latent = self.dec_project(dec_hidden[:, -1, :])  # (B, F)
+        def cl(a, b):
+            a = a * jax.lax.rsqrt(jnp.sum(a * a, -1, keepdims=True) + 1e-12)
+            b = b * jax.lax.rsqrt(jnp.sum(b * b, -1, keepdims=True) + 1e-12)
+            sim = jnp.einsum("md,nd->mn", a, b) / self.temperature
+            labels = jnp.arange(a.shape[0], dtype=jnp.int32)
+            return criterions.cross_entropy_with_logits(sim, labels)
+
+        dec_cl_loss = cl(target_recon, dec_latent) + cl(dec_latent, target_recon)
+
+        recon_loss = jnp.mean(jnp.square(target_recon - target_feats))
+        vq_total = recon_loss + self.quant_loss_weight * vq_loss
+
+        loss = (
+            code_loss
+            + self.kl_weight * kl_loss
+            + self.dec_cl_weight * dec_cl_loss
+            + (vq_total if train_id else 0.0)
+        )
+        return loss, {
+            "code_loss": code_loss,
+            "kl_loss": kl_loss,
+            "dec_cl_loss": dec_cl_loss,
+            "vq_loss": vq_total,
+        }
+
+    def _decode_hidden(self, dec_in, enc_out, enc_mask, deterministic):
+        # reuse seq2seq.decode but keep the hidden states: re-implement
+        # the tied-head projection separately
+        x = self.seq2seq.shared(dec_in)
+        Bq = dec_in.shape[1]
+        causal = jnp.tril(jnp.ones((Bq, Bq), dtype=bool))[None, None]
+        cross = enc_mask[:, None, None, :]
+        bias = self.seq2seq.dec_bias(Bq, Bq)
+        for block in self.seq2seq.decoder_blocks:
+            x = block(x, enc_out, causal, cross, bias, deterministic)
+        return self.seq2seq.dec_final_ln(x)
+
+    def _token_logits(self, dec_hidden):
+        return jnp.einsum(
+            "bld,vd->blv",
+            dec_hidden * (self.embedding_dim**-0.5),
+            self.seq2seq.shared.embedding,
+            preferred_element_type=jnp.float32,
+        )
+
+    # ----------------------------------------------------------- inference
+    def recommend_from_full(self, data: Batch, buffers: Any = None) -> jnp.ndarray:
+        item_code = data["item_code"]
+        trie = data["trie"]  # (allowed, next_node, node_item) np arrays
+        seqs = data[self.ISeq]
+        B = seqs.shape[0]
+        input_codes = item_code[seqs]
+        input_tokens = self._code_tokens(jnp.maximum(input_codes, 0))
+        input_tokens = jnp.where(
+            (input_codes >= 0) & (seqs != self.PADDING_VALUE)[..., None],
+            input_tokens,
+            0,
+        ).reshape(B, -1)
+        enc_out, enc_mask = self.seq2seq.encode(input_tokens)
+
+        def apply_decode(dec_ids, enc_o, enc_m):
+            h = self._decode_hidden(dec_ids, enc_o, enc_m, True)
+            return self._token_logits(h)
+
+        allowed, next_node, node_item = trie
+        items, scores = beam_search(
+            apply_decode,
+            enc_out,
+            enc_mask,
+            jnp.asarray(allowed),
+            jnp.asarray(next_node),
+            jnp.asarray(node_item),
+            num_beams=self.num_beams,
+            max_steps=self.code_length,
+            start_id=0,
+            pad_id=0,
+        )
+        full = jnp.full((B, self.Item.count), -1e23)
+        safe = jnp.where(items >= 0, items, self.Item.count)
+        padded = jnp.concatenate(
+            [full, jnp.full((B, 1), -1e23)], axis=1
+        )
+        out = padded.at[jnp.arange(B)[:, None], safe].max(scores)
+        return out[:, : self.Item.count]
+
+    def recommend_from_pool(self, data: Batch, buffers: Any = None) -> jnp.ndarray:
+        item_code = data["item_code"]
+        seqs = data[self.ISeq]
+        cands = data[self.IUnseen] + self.NUM_PADS  # (B, K)
+        B, K = cands.shape
+        input_codes = item_code[seqs]
+        input_tokens = self._code_tokens(jnp.maximum(input_codes, 0))
+        input_tokens = jnp.where(
+            (input_codes >= 0) & (seqs != self.PADDING_VALUE)[..., None],
+            input_tokens,
+            0,
+        ).reshape(B, -1)
+        enc_out, enc_mask = self.seq2seq.encode(input_tokens)
+        labels = self._code_tokens(item_code[cands])  # (B, K, Lc)
+        Lc = self.code_length
+        dec_in = jnp.concatenate(
+            [jnp.zeros((B, K, 1), jnp.int32), labels[..., :-1]], axis=-1
+        ).reshape(B * K, Lc)
+        h = self._decode_hidden(
+            dec_in,
+            jnp.repeat(enc_out, K, axis=0),
+            jnp.repeat(enc_mask, K, axis=0),
+            True,
+        )
+        logp = jax.nn.log_softmax(self._token_logits(h), axis=-1)
+        picked = jnp.take_along_axis(
+            logp, labels.reshape(B * K, Lc)[..., None], axis=-1
+        )[..., 0]
+        return picked.sum(-1).reshape(B, K)
+
+
+class ETEGRecCoach(Coach):
+    """Alternating id/rec cycles; refreshes item codes (+ trie) per
+    cycle (CoachForETEGRec, train_etegrec.py:478-545)."""
+
+    cycle: int = 2
+
+    def set_other(self):
+        self._train_id = False
+        self._item_code = None
+        self._trie = None
+
+    def refresh_item_codes(self):
+        model = self.get_res_sys_arch()
+        codes = np.asarray(
+            self.model.apply({"params": self.state.params}, method="current_codes")
+        )
+        full = codes_with_check_digit(codes, max_rank=model.num_codewords)
+        item_code = np.concatenate(
+            [np.full((model.NUM_PADS, full.shape[1]), -1, np.int64), full], axis=0
+        )
+        self._item_code = item_code
+        self._trie = self._build_trie(full, model)
+
+    @staticmethod
+    def _build_trie(codes: np.ndarray, model):
+        V = model.token_vocab
+        children = [dict()]
+        node_item = [-1]
+
+        def child(node, token):
+            nxt = children[node].get(token)
+            if nxt is None:
+                children.append(dict())
+                node_item.append(-1)
+                nxt = len(children) - 1
+                children[node][token] = nxt
+            return nxt
+
+        offsets = 1 + np.arange(codes.shape[1]) * model.num_codewords
+        for item_id, row in enumerate(codes):
+            node = 0
+            for tok in (row + offsets).tolist():
+                node = child(node, tok)
+            node_item[node] = item_id
+        n = len(children)
+        allowed = np.zeros((n, V), dtype=bool)
+        next_node = np.full((n, V), -1, dtype=np.int32)
+        for i, kids in enumerate(children):
+            for t, j in kids.items():
+                allowed[i, t] = True
+                next_node[i, t] = j
+        for i in range(n):
+            if node_item[i] >= 0:
+                allowed[i, 0] = True
+                next_node[i, 0] = i
+        return allowed, next_node, np.asarray(node_item, np.int32)
+
+    def loss_of(self, params, batch, rng):
+        loss, logs = self.model.apply(
+            {"params": params},
+            batch,
+            self._train_id,
+            method="fit",
+            rngs={"dropout": rng, "sampling": jax.random.fold_in(rng, 1)},
+        )
+        return loss, logs
+
+    def train(self, epoch: int):
+        if self.state is not None and (
+            self._item_code is None or epoch % self.cycle == 0
+        ):
+            self.refresh_item_codes()
+        self._train_id = bool((epoch // self.cycle) % 2) if self.cycle else False
+        return super().train(epoch)
+
+    def train_per_epoch(self, epoch: int) -> None:
+        from ...data.pipes import Size
+
+        for data in self.dataloader:
+            n = int(data.get(Size, 1))
+            batch = {
+                f: jnp.asarray(v)
+                for f, v in data.items()
+                if isinstance(v, (np.ndarray, jnp.ndarray)) and f != Size
+            }
+            self._init_state_eteg(batch)
+            batch["item_code"] = jnp.asarray(self._item_code)
+            # loss_of closes over _train_id (static) → one jitted step per phase
+            if not hasattr(self, "_step_fns"):
+                self._step_fns = {}
+            if self._train_id not in self._step_fns:
+                self._step_fns[self._train_id] = self._make_train_step()
+            step_fn = self._step_fns[self._train_id]
+            self._rng, rng = jax.random.split(self._rng)
+            self.state, loss, logs = step_fn(self.state, batch, rng)
+            self.monitor(
+                float(loss), n=n, reduction="mean", mode="train", pool=["LOSS"]
+            )
+
+    def _init_state_eteg(self, batch):
+        if self.state is not None:
+            return
+        # init requires item_code: derive a provisional one (zeros)
+        model = self.get_res_sys_arch()
+        provisional = np.zeros(
+            (model.Item.count + model.NUM_PADS, model.code_length), np.int64
+        )
+        batch = dict(batch)
+        batch["item_code"] = jnp.asarray(provisional)
+        self._init_state(batch)
+        self.refresh_item_codes()
+
+    def evaluate(self, epoch: int, step: int = -1, mode: str = "valid") -> None:
+        if self._item_code is None:
+            self.refresh_item_codes()
+        pipe = self.validpipe if mode == "valid" else self.testpipe
+        if pipe is None:
+            return
+        model = self.get_res_sys_arch()
+        from ...launcher import metrics as metrics_lib
+
+        wanted = tuple(
+            (b, k) for b, k in self._wanted if b in metrics_lib.RANK_METRICS
+        )
+        pool = [metrics_lib.fmt_metric(b, k) for b, k in wanted]
+        item_code = jnp.asarray(self._item_code)
+        trie = tuple(jnp.asarray(t) for t in self._trie)
+        for data in pipe:
+            batch, aux, valid_rows, B = self._densify_eval_batch(data)
+            batch = {f: jnp.asarray(v) for f, v in batch.items()}
+            batch["item_code"] = item_code
+            batch["trie"] = trie
+            scores = self.model.apply(
+                {"params": self.state.params}, batch, None,
+                method="recommend_from_full",
+            )
+            if self.remove_seen and aux.get("seen_ids") is not None:
+                rows = jnp.arange(scores.shape[0])[:, None]
+                scores = scores.at[rows, jnp.asarray(aux["seen_ids"])].set(
+                    -1e23, mode="drop"
+                )
+            sums = metrics_lib.rank_metrics(
+                scores, jnp.asarray(aux["target_ids"]), wanted,
+                jnp.asarray(valid_rows),
+            )
+            values = [float(sums[name]) / max(B, 1) for name in pool if name in sums]
+            self.monitor(*values, n=B, reduction="mean", mode=mode, pool=pool)

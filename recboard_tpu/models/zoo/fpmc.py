@@ -21,7 +21,7 @@ from . import register
 
 @register("FPMC")
 class FPMC(SeqRecArch):
-    NUM_PADS = 0
+    NUM_PADS: int = 0
 
     maxlen: int = 50
     embedding_dim: int = 64

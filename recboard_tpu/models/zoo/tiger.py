@@ -47,7 +47,10 @@ BEAM_SCORE_BASE = 1.0
 
 @register("RQVAE")
 class RQVAE(RecSysArch):
-    """Stage-A tokenizer model."""
+    """Stage-A tokenizer model. With `collab_features` + `cf_weight`,
+    this is LETTER's tokenizer: the reconstruction is aligned with
+    collaborative item embeddings through an in-batch contrastive CE
+    (LETTER/train_rqvae.py:167-190)."""
 
     item_features: Optional[np.ndarray] = None  # (N, F), frozen
     hidden_dims: Tuple[int, ...] = (512, 256, 128)
@@ -60,6 +63,8 @@ class RQVAE(RecSysArch):
     sk_epsilons: Optional[Tuple[float, ...]] = None
     sk_iters: int = 50
     gumbel_temperature: float = 1.0
+    collab_features: Optional[np.ndarray] = None  # (N, F'), frozen (LETTER)
+    cf_weight: float = 0.0
 
     def setup(self):
         feats = np.asarray(self.item_features, np.float32)
@@ -131,7 +136,19 @@ class RQVAE(RecSysArch):
         x_hat = self.decode(q, deterministic=False)
         recon = jnp.sum(jnp.square(x_hat - x)) / items.shape[0]
         loss = recon + aux_loss
-        return loss, {"recon_loss": recon, "auxiliary_loss": aux_loss}
+        logs = {"recon_loss": recon, "auxiliary_loss": aux_loss}
+        if self.collab_features is not None and self.cf_weight > 0:
+            # LETTER collaborative alignment: in-batch contrastive CE
+            # between x_hat and the frozen collaborative embeddings
+            collab = jnp.asarray(self.collab_features, jnp.float32)[items]
+            logits = jnp.einsum("md,nd->mn", x_hat, collab)
+            labels = jnp.arange(items.shape[0], dtype=jnp.int32)
+            from ... import criterions
+
+            cf_loss = criterions.cross_entropy_with_logits(logits, labels)
+            loss = loss + self.cf_weight * cf_loss
+            logs["cf_loss"] = cf_loss
+        return loss, logs
 
     def codes_of(self, items: jnp.ndarray) -> jnp.ndarray:
         x = self._feats[items]
@@ -187,11 +204,28 @@ class RQVAECoach(Coach):
         return file_
 
 
+@register("LETTER")
+class LETTERTokenizer(RQVAE):
+    """LETTER = TIGER + collaborative-embedding alignment in the
+    tokenizer (LETTER/train_rqvae.py:53-190). Stage B reuses TIGER's
+    generator over the emitted sid_vocab."""
+
+    cf_weight: float = 0.01
+
+
+@register("R3-VAE")
+class R3VAETokenizer(RQVAE):
+    """R3-VAE = TIGER with the rotation-trick RQ-VAE tokenizer
+    (R3-VAE/train_r3vae.py:47); stage B reuses TIGER's generator."""
+
+    quantization_strategy: str = "rotation"
+
+
 @register("TIGER")
 class TIGER(SeqRecArch):
     """Stage-B generator over SID tokens."""
 
-    NUM_PADS = 0  # padding handled by the sentinel token-table row
+    NUM_PADS: int = 0  # padding handled by the sentinel token-table row
 
     converter: Optional[SemIDConverter] = None
     maxlen: int = 20

@@ -92,11 +92,35 @@ def build_model(name: str, dataset: RecDataSet, cfg: Dict[str, Any]):
         kwargs.setdefault("ii_weights", iiw)
         kwargs.setdefault("ii_indices", iii)
     if "item_features" in fields:
-        feats = load_feat("tfile") or load_feat("vfile")
+        feats = load_feat("tfile")
+        if feats is None:
+            feats = load_feat("vfile")
         if feats is not None:
-            item_f, user_f = cls.build_features(dataset, feats)
-            kwargs.setdefault("item_features", item_f)
-            kwargs.setdefault("user_features_arr", user_f)
+            if hasattr(cls, "build_features"):  # AlphaRec: + user means
+                item_f, user_f = cls.build_features(dataset, feats)
+                kwargs.setdefault("item_features", item_f)
+                kwargs.setdefault("user_features_arr", user_f)
+            else:
+                kwargs.setdefault("item_features", feats)
+
+    # models that require side inputs the generic CLI cannot derive
+    hard_required = {
+        "datasets": "a dict of datasets (multi-dataset model — drive via a script)",
+        "item_features": "an item-feature pickle (--tfile or --vfile)",
+        "sem_codes": "semantic-id codes (run the tokenizer stage first)",
+        "converter": "a SemIDConverter (run the tokenizer stage first)",
+    }
+    blocking = [
+        f"{field_name}: needs {why}"
+        for field_name, why in hard_required.items()
+        if field_name in fields and kwargs.get(field_name) is None
+    ]
+    if blocking:
+        raise SystemExit(
+            f"model {name!r} needs inputs the generic runner was not given:\n  "
+            + "\n  ".join(blocking)
+            + "\nSee the model's docstring for the full pipeline."
+        )
     return cls(dataset, **kwargs)
 
 

@@ -185,6 +185,29 @@ class ResidualQuantizer(_QuantizerBase):
             ids.append(ids_)
         return jnp.stack(ids, axis=-1)
 
+    def quantize_with_logits(self, z: jnp.ndarray):
+        """(z_hat, loss, ids, logits (B, L, K)) — per-level negative
+        distances as code logits (ETEGRec's tokenizer output)."""
+        books = self._codebooks()
+        loss = 0.0
+        ids, logits = [], []
+        z_res = z
+        z_hat = 0.0
+        for l in range(self.num_codebooks):
+            ids_, c, dist = self.match(z_res, books[l], l)
+            q = straight_through(z_res, c)
+            z_hat = z_hat + q
+            loss = loss + _commit(c, z_res) + _commit(z_res, c) * self.commit_weight
+            z_res = z_res - q
+            ids.append(ids_)
+            logits.append(-dist)
+        return (
+            z_hat,
+            loss / self.num_codebooks,
+            jnp.stack(ids, axis=-1),
+            jnp.stack(logits, axis=1),
+        )
+
 
 class ResidualSimVQQuantizer(_QuantizerBase):
     """SimVQ: frozen random base codebooks + trainable linear
