@@ -674,6 +674,22 @@ class Coach:
         }
         with open(os.path.join(cfg.LOG_PATH, "results.json"), "w") as fh:
             json.dump(record, fh, indent=1)
+        if cfg.get("record_benchmark"):
+            from .. import benchmark as benchmark_lib
+
+            benchmark_lib.record_run(
+                cfg.get("benchmark_root", "./benchmark"),
+                cfg.dataset,
+                cfg.description,
+                record,
+                config={
+                    k: v
+                    for k, v in cfg.items()
+                    if isinstance(v, (str, int, float, bool, list, type(None)))
+                },
+                tags=list(cfg.get("tags", [])),
+                description=cfg.description,
+            )
         utils.export_pickle(
             self.history, os.path.join(cfg.LOG_PATH, cfg.MONITOR_FILENAME)
         )

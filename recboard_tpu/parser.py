@@ -52,7 +52,10 @@ CORE_DEFAULTS: Dict[str, Any] = dict(
     num_workers=0,
     verbose=False,
     resume=False,
-    benchmark=True,
+    benchmark=True,  # reference parity: cudnn.benchmark analogue (no-op on TPU)
+    record_benchmark=False,  # append results to the benchmark store
+    benchmark_root="./benchmark",
+    tags=[],
     log2console=True,
     log2file=True,
     description="RecBoardTPU",
