@@ -120,18 +120,13 @@ class RecDataSet:
             file_ = os.path.join(self.path, f"{split}.txt")
             with open(file_) as fh:
                 header = fh.readline().rstrip("\n").split("\t")
-                columns = [_parse_header(c) for c in header]
-                data: List[List[str]] = [[] for _ in columns]
-                for line in fh:
-                    parts = line.rstrip("\n").split("\t")
-                    for i, val in enumerate(parts):
-                        data[i].append(val)
+            columns = [_parse_header(c) for c in header]
+            arrays = self._read_columns(file_, columns)
             raw[split] = {}
-            for (name, tags), vals in zip(columns, data):
-                dtype = _column_dtype(tags)
-                raw[split][name] = np.asarray(vals, dtype=dtype)
+            for (name, tags), vals in zip(columns, arrays):
+                raw[split][name] = vals
                 if name not in field_by_name:
-                    field_by_name[name] = Field(name, tags, dtype=dtype)
+                    field_by_name[name] = Field(name, tags, dtype=vals.dtype)
 
         # vocab counts from max id over all splits (ids are dense 0-based
         # after `make`'s reindex — SURVEY.md §3.5)
@@ -155,6 +150,39 @@ class RecDataSet:
                 field_by_name[name]: vals for name, vals in raw[split].items()
             }
         return FieldTuple(fields)
+
+    def _read_columns(self, file_: str, columns) -> List[np.ndarray]:
+        """Column arrays for one TSV; the common (USER, ITEM[, RATING]
+        [, TIMESTAMP]) layout goes through the native C++ parser."""
+        names_tags = [(n, t) for n, t in columns]
+        standard = (
+            len(names_tags) >= 2
+            and names_tags[0][0] == "User"
+            and names_tags[1][0] == "Item"
+            and len(names_tags) <= 4
+        )
+        if standard:
+            from .. import native
+
+            parsed = native.parse_interactions(file_)
+            if parsed is not None:
+                users, items, col3, col4 = parsed
+                extras = [col3, col4]
+                out = [users.astype(np.int32), items.astype(np.int32)]
+                for i, (name, tags) in enumerate(names_tags[2:]):
+                    out.append(extras[i].astype(_column_dtype(tags)))
+                return out
+        with open(file_) as fh:
+            fh.readline()
+            data: List[List[str]] = [[] for _ in columns]
+            for line in fh:
+                parts = line.rstrip("\n").split("\t")
+                for i, val in enumerate(parts):
+                    data[i].append(val)
+        return [
+            np.asarray(vals, dtype=_column_dtype(tags))
+            for (name, tags), vals in zip(columns, data)
+        ]
 
     @property
     def meta(self) -> Dict[str, Any]:

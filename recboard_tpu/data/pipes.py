@@ -330,10 +330,16 @@ class SampleMultiplexer(DataPipe):
 
 # ============================================================= samplers
 class _SeenLookup:
-    """Per-user seen-item sets as sorted arrays (O(log n) membership)."""
+    """Per-user seen-item sets as sorted arrays (O(log n) membership)
+    plus a CSR view for the native chunked sampler."""
 
     def __init__(self, seqs: Sequence[Sequence[int]]):
         self.sorted = [np.unique(np.asarray(s, dtype=np.int64)) for s in seqs]
+        lengths = np.asarray([a.size for a in self.sorted], dtype=np.int64)
+        self.indptr = np.concatenate(([0], np.cumsum(lengths)))
+        self.items = (
+            np.concatenate(self.sorted) if len(self.sorted) else np.zeros(0, np.int64)
+        )
 
     def contains(self, user: int, candidates: np.ndarray) -> np.ndarray:
         arr = self.sorted[user]
@@ -393,7 +399,13 @@ class GenTrainPositiveSampler(DataPipe):
 @functional_datapipe("gen_train_sampling_neg_")
 class GenTrainNegativeSampler(DataPipe):
     """Uniform negatives excluding the user's seen items
-    (MF-BPR/main.py:65; `unseen_only` switch per SimpleX)."""
+    (MF-BPR/main.py:65; `unseen_only` switch per SimpleX).
+
+    Rows are buffered into chunks and sampled in one native (C++) or
+    vectorized call — the host must keep a TPU chip fed (SURVEY.md §7
+    hard part #5)."""
+
+    CHUNK = 4096
 
     def __init__(self, source: DataPipe, num_negatives: int = 1, unseen_only: bool = True):
         super().__init__(source)
@@ -405,19 +417,46 @@ class GenTrainNegativeSampler(DataPipe):
         if self._seen is None and self.unseen_only:
             self._seen = _SeenLookup(self.dataset.train().user_seqs())
 
+    def _sample_chunk(self, users, chunk_id: int) -> np.ndarray:
+        from .. import native  # recboard_tpu.native
+
+        count = self.Item.count
+        seed = hash((self._seed or 0, self._epoch, chunk_id)) & (2**63 - 1)
+        if self.unseen_only:
+            return native.sample_negatives(
+                np.asarray(users),
+                self.num_negatives,
+                self._seen.indptr,
+                self._seen.items,
+                count,
+                seed,
+            )
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, count, size=(len(users), self.num_negatives))
+
     def __iter__(self) -> Iterator[Row]:
         self._prepare()
         User, INeg = self.User, self.Item.fork(NEGATIVE)
-        count = self.Item.count
-        rng = self.rng()
+        buffer: List[Row] = []
+        chunk_id = 0
+
+        def flush():
+            nonlocal chunk_id
+            users = [row[User] for row in buffer]
+            negs = self._sample_chunk(users, chunk_id)
+            chunk_id += 1
+            for row, neg in zip(buffer, negs):
+                row = dict(row)
+                row[INeg] = tuple(int(v) for v in neg)
+                yield row
+            buffer.clear()
+
         for row in self.source:
-            row = dict(row)
-            row[INeg] = tuple(
-                _sample_negatives(
-                    rng, count, self.num_negatives, self._seen, row[User]
-                ).tolist()
-            )
-            yield row
+            buffer.append(row)
+            if len(buffer) >= self.CHUNK:
+                yield from flush()
+        if buffer:
+            yield from flush()
 
 
 @functional_datapipe("seq_train_yielding_pos_")
@@ -456,7 +495,10 @@ class SeqTrainNegativeSampler(DataPipe):
     """Per-position negatives for sequence targets (SASRec/main.py:148):
     for each target position draws `num_negatives` unseen items; with
     num_negatives == 1 the field shape follows IPos (length L), else
-    (L, num_negatives)."""
+    (L, num_negatives). Chunked native sampling as in
+    GenTrainNegativeSampler."""
+
+    CHUNK = 2048
 
     def __init__(self, source: DataPipe, num_negatives: int = 1, unseen_only: bool = True):
         super().__init__(source)
@@ -469,24 +511,51 @@ class SeqTrainNegativeSampler(DataPipe):
             self._seen = _SeenLookup(self.dataset.train().user_seqs())
 
     def __iter__(self) -> Iterator[Row]:
+        from .. import native
+
         self._prepare()
         User = self.User
         IPos, INeg = self.Item.fork(POSITIVE), self.Item.fork(NEGATIVE)
         count = self.Item.count
-        rng = self.rng()
-        for row in self.source:
-            L = len(row[IPos])
-            negs = _sample_negatives(
-                rng, count, L * self.num_negatives, self._seen, row[User]
+        buffer: List[Row] = []
+        chunk_id = 0
+
+        def flush():
+            nonlocal chunk_id
+            # one draw stream per (user, position)
+            users_flat = np.concatenate(
+                [np.full(len(row[IPos]), row[User], np.int64) for row in buffer]
             )
-            row = dict(row)
-            if self.num_negatives == 1:
-                row[INeg] = tuple(negs.tolist())
-            else:
-                row[INeg] = tuple(
-                    tuple(r) for r in negs.reshape(L, self.num_negatives).tolist()
+            seed = hash((self._seed or 0, self._epoch, chunk_id)) & (2**63 - 1)
+            chunk_id += 1
+            if self.unseen_only:
+                negs = native.sample_negatives(
+                    users_flat, self.num_negatives,
+                    self._seen.indptr, self._seen.items, count, seed,
                 )
-            yield row
+            else:
+                negs = np.random.default_rng(seed).integers(
+                    0, count, size=(len(users_flat), self.num_negatives)
+                )
+            offset = 0
+            for row in buffer:
+                L = len(row[IPos])
+                chunk = negs[offset : offset + L]
+                offset += L
+                row = dict(row)
+                if self.num_negatives == 1:
+                    row[INeg] = tuple(int(v) for v in chunk[:, 0])
+                else:
+                    row[INeg] = tuple(tuple(int(v) for v in r) for r in chunk)
+                yield row
+            buffer.clear()
+
+        for row in self.source:
+            buffer.append(row)
+            if len(buffer) >= self.CHUNK:
+                yield from flush()
+        if buffer:
+            yield from flush()
 
 
 class _EvalSamplerBase(DataPipe):
