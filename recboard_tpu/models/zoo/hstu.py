@@ -235,6 +235,8 @@ class HSTU(SeqRecArch):
         return user_embds, item_embds
 
     def fit(self, data: Batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        from ...ops import losses as loss_ops
+
         user_embds, item_embds = self.encode(data, deterministic=False)
         seqs = data[self.ISeq]
         B, L = seqs.shape
@@ -246,12 +248,14 @@ class HSTU(SeqRecArch):
         candidates = jnp.concatenate(
             [data[self.IPos][..., None], negatives], axis=-1
         )  # (B, L, 1+K)
-        cand_embds = item_embds[candidates]  # (B, L, 1+K, D)
-        logits = (
-            jnp.einsum("bld,blkd->blk", user_embds, cand_embds) / self.temperature
-        )
-        rec_loss = criterions.cross_entropy_with_logits(
-            logits, jnp.zeros((B, L), dtype=jnp.int32), weights=weights
+        # chunk-fused sampled softmax: never materializes the
+        # (B, L, 1+K, D) candidate gather (ops/losses.py)
+        rec_loss = loss_ops.sampled_softmax_loss(
+            user_embds.reshape(B * L, -1),
+            candidates.reshape(B * L, -1),
+            item_embds,
+            weights.reshape(-1),
+            temperature=self.temperature,
         )
         return rec_loss, {"rec_loss": rec_loss}
 

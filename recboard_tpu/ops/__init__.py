@@ -1,1 +1,5 @@
 """Compute ops: jnp reference implementations + Pallas TPU kernels."""
+
+from . import attention  # noqa: F401
+from . import losses  # noqa: F401
+from . import spmm  # noqa: F401

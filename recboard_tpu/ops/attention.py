@@ -83,8 +83,12 @@ def mha_reference(
         scores = scores + add[:, None, :, :]
     if bias is not None:
         scores = scores + bias
-    # guard fully-masked rows (all-pad prefixes) against NaN softmax
+    # fully-masked rows (pad queries whose visible keys are all padded)
+    # produce zeros — well-defined on both the jnp and Pallas paths;
+    # models zero those positions anyway (SASRec/main.py:176)
+    valid = scores > NEG_INF / 2
     probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(valid.any(axis=-1, keepdims=True), probs, 0.0)
     out = jnp.einsum("bhls,bhsd->bhld", probs, vh)
     return out.transpose(0, 2, 1, 3).reshape(B, L, D).astype(q.dtype)
 
@@ -101,10 +105,11 @@ def _mha_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, L, S):
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (Lp, Sp)
     scores = scores + mask_ref[0]
+    valid = scores > NEG_INF / 2
     m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
+    e = jnp.where(valid, jnp.exp(scores - m), 0.0)
     z = jnp.sum(e, axis=-1, keepdims=True)
-    probs = e / jnp.maximum(z, 1e-30)
+    probs = e / jnp.maximum(z, 1e-30)  # fully-masked rows → zeros
     o_ref[0] = jnp.dot(
         probs, v, preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
@@ -183,9 +188,15 @@ def mha(
     bias: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
-    """Dispatch: Pallas on TPU, reference elsewhere."""
+    """Dispatch: Pallas on TPU where the shape profits (head dim a lane
+    multiple, or long sequences where fusing QK/softmax/PV in VMEM
+    beats XLA's scheduling); jnp reference elsewhere — at rec-model
+    shapes (L≈50, hd=64) XLA's fusion already runs at parity, and the
+    kernel's lane padding would waste MXU work."""
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and q.shape[-1] % num_heads == 0:
+    hd = q.shape[-1] // num_heads
+    profitable = hd % 128 == 0 or q.shape[1] >= 256
+    if on_tpu and profitable and q.shape[-1] % num_heads == 0:
         try:
             return mha_pallas(
                 q, k, v, num_heads, causal, key_padding_mask, bias, scale

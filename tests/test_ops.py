@@ -50,3 +50,42 @@ def test_mha_bias():
     ref = A.mha_reference(q, q, q, H, causal=False, bias=bias)
     got = A.mha_pallas(q, q, q, H, causal=False, bias=bias, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_sampled_softmax_scan_matches_reference():
+    from recboard_tpu.ops import losses as L
+
+    rng = np.random.default_rng(0)
+    M, C, D, N = 1100, 7, 16, 40
+    user = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, N, size=(M, C)), jnp.int32)
+    table = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    w = jnp.asarray((rng.random(M) < 0.8), jnp.float32)
+    a = L.sampled_softmax_loss_reference(user, ids, table, w, 0.1)
+    b = L.sampled_softmax_loss(user, ids, table, w, 0.1, chunk=256)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+    ga = jax.grad(
+        lambda u, t: L.sampled_softmax_loss_reference(u, ids, t, w, 0.1),
+        argnums=(0, 1),
+    )(user, table)
+    gb = jax.grad(
+        lambda u, t: L.sampled_softmax_loss(u, ids, t, w, 0.1, chunk=256),
+        argnums=(0, 1),
+    )(user, table)
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]), atol=1e-5)
+
+
+def test_sampled_softmax_pallas_interpret():
+    from recboard_tpu.ops import losses as L
+
+    rng = np.random.default_rng(1)
+    M, C, D, N = 64, 5, 8, 16
+    user = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, N, size=(M, C)), jnp.int32)
+    table = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    w = jnp.ones(M, jnp.float32)
+    a = L.sampled_softmax_loss_reference(user, ids, table, w, 1.0)
+    b = L.sampled_softmax_loss_pallas(user, ids, table, w, 1.0, block=32, interpret=True)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
