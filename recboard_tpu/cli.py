@@ -1,0 +1,73 @@
+"""Command-line entry points: ``python -m recboard_tpu <command>``.
+
+Commands
+--------
+make        Build Processed/<name>/ from a raw TSV (the `freerec make`
+            analogue: k-core filter + dense reindex + LOU/ROU split,
+            SURVEY.md §3.5; build command recorded in meta.json).
+run         Train/evaluate a zoo model (recboard_tpu.run).
+benchmark   Aggregate the benchmark store into leaderboard data.
+bench       Print the throughput benchmark JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import utils
+
+
+def cmd_make(argv):
+    ap = argparse.ArgumentParser(prog="recboard_tpu make")
+    ap.add_argument("name", help="output dataset name, e.g. Amazon2014Beauty_550_LOU")
+    ap.add_argument("raw", help="raw interactions TSV: user\titem[\trating[\tts]]")
+    ap.add_argument("--root", default=".")
+    ap.add_argument("--kcore4user", "-ku", type=int, default=5)
+    ap.add_argument("--kcore4item", "-ki", type=int, default=5)
+    ap.add_argument("--star4pos", "-sp", type=float, default=0)
+    ap.add_argument("--splitting", choices=("LOU", "ROU"), default="LOU")
+    ap.add_argument("--ratios", default="8,1,1")
+    args = ap.parse_args(argv)
+    from .data import preprocessing
+
+    path = preprocessing.make_from_tsv(
+        args.raw,
+        args.root,
+        args.name,
+        kcore4user=args.kcore4user,
+        kcore4item=args.kcore4item,
+        star4pos=args.star4pos,
+        splitting=args.splitting,
+        ratios=tuple(int(x) for x in args.ratios.split(",")),
+    )
+    utils.infoLogger(f"[make] >>> built {path}")
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(__doc__)
+        return
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "make":
+        cmd_make(rest)
+    elif cmd == "run":
+        from . import run
+
+        run.main(rest)
+    elif cmd == "benchmark":
+        from . import benchmark
+
+        benchmark.main(rest)
+    elif cmd == "bench":
+        import runpy
+
+        sys.argv = ["bench.py"] + rest
+        runpy.run_path("bench.py", run_name="__main__")
+    else:
+        raise SystemExit(f"unknown command {cmd!r}; one of: make, run, benchmark, bench")
+
+
+if __name__ == "__main__":
+    main()

@@ -217,10 +217,26 @@ def make_from_tsv(
     name: str,
     **kwargs,
 ) -> str:
-    """Build from a raw TSV with columns user, item[, rating[, timestamp]]."""
-    data = np.loadtxt(raw_file, delimiter="\t", skiprows=1, dtype=np.float64, ndmin=2)
-    users = data[:, 0].astype(np.int64)
-    items = data[:, 1].astype(np.int64)
-    ratings = data[:, 2].astype(np.float32) if data.shape[1] > 2 else None
-    ts = data[:, 3].astype(np.int64) if data.shape[1] > 3 else None
-    return make_dataset(dest_root, name, users, items, ratings, ts, **kwargs)
+    """Build from a raw TSV with columns user, item[, rating[,
+    timestamp]]; user/item may be arbitrary strings (Amazon asins)."""
+    users_raw, items_raw, ratings_l, ts_l = [], [], [], []
+    with open(raw_file) as fh:
+        fh.readline()  # header
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 2:
+                continue
+            users_raw.append(parts[0])
+            items_raw.append(parts[1])
+            if len(parts) > 2:
+                ratings_l.append(float(parts[2]))
+            if len(parts) > 3:
+                ts_l.append(int(float(parts[3])))
+    users, _ = reindex(np.asarray(users_raw))
+    items, _ = reindex(np.asarray(items_raw))
+    ratings = np.asarray(ratings_l, np.float32) if ratings_l else None
+    ts = np.asarray(ts_l, np.int64) if ts_l else None
+    return make_dataset(
+        dest_root, name, users.astype(np.int64), items.astype(np.int64),
+        ratings, ts, **kwargs,
+    )

@@ -340,6 +340,13 @@ class Coach:
         self.trainpipe.set_seed(int(self.cfg.seed))
         self.trainpipe.set_epoch(epoch)
         self._active_pipe = self.trainpipe
+        # tracing hook (SURVEY.md §5.1): --profile <dir> captures a
+        # jax.profiler trace of epoch 1 for xprof/tensorboard
+        profile_dir = self.cfg.get("profile")
+        if profile_dir and epoch == 1 and dist.is_main_process():
+            with jax.profiler.trace(str(profile_dir)):
+                self.train_per_epoch(epoch)
+            return self._flush("train", epoch)
         self.train_per_epoch(epoch)
         if self.state is None:
             raise RuntimeError(

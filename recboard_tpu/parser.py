@@ -58,6 +58,7 @@ CORE_DEFAULTS: Dict[str, Any] = dict(
     tags=[],
     log2console=True,
     log2file=True,
+    profile=None,  # directory for a jax.profiler trace of epoch 1
     description="RecBoardTPU",
     device=None,
     ddp_backend="gspmd",  # reference default "nccl"; on TPU collectives are GSPMD/ICI
