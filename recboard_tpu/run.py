@@ -158,6 +158,17 @@ def main(argv: Optional[list] = None):
     # LOG_PATH/CHECKPOINT_PATH are derived from it
     if not any(a.startswith("--description") for a in argv):
         model_name = "SASRec"
+        for i, a in enumerate(argv):  # YAML first, CLI overrides
+            if a == "--config" and i + 1 < len(argv):
+                import yaml as _yaml
+
+                try:
+                    with open(argv[i + 1]) as fh:
+                        model_name = (_yaml.safe_load(fh) or {}).get(
+                            "model", model_name
+                        )
+                except OSError:
+                    pass
         for i, a in enumerate(argv):
             if a == "--model" and i + 1 < len(argv):
                 model_name = argv[i + 1]
@@ -185,6 +196,11 @@ def main(argv: Optional[list] = None):
     dataset = load_dataset(cfg)
     dataset.summary()
     model = build_model(cfg.model, dataset, cfg)
+    # models with an internal weight_decay field fold it into the loss
+    # (LightGCN-family: CoachFor*.set_optimizer comments decay out,
+    # LightGCN/main.py:131-154) — zero the optimizer-side decay
+    if "weight_decay" in model_field_names(type(model)):
+        cfg.weight_decay = 0.0
     trainpipe, validpipe, testpipe = build_pipes(model, cfg)
     coach = Coach(
         dataset=dataset,
