@@ -1,0 +1,191 @@
+"""On-device training samplers — zero host work in the hot loop.
+
+The generator pipes (data/pipes.py) replicate the reference protocol
+exactly, but a Python host cannot feed a chip running >1M examples/s
+(SURVEY.md §7 hard part #5). These samplers pack the training split
+into device arrays once and draw every batch INSIDE the jitted train
+step (the Coach folds `sampler.sample` into its step function), the
+way HSTU already samples its negatives on device (HSTU/main.py:157-162).
+
+Protocol parity notes (vs the generator pipes):
+* user order per epoch: a jax.random permutation (same semantics as
+  shuffled_seqs_source / one-epoch-per-user);
+* negatives: uniform with rejection against the user's PACKED history
+  (the last maxlen+1 items). Users longer than the window lose
+  exclusion for their oldest items — the reference excludes all seen;
+  at rec-dataset lengths (avg 8–27 « maxlen) the difference is nil.
+  One resample round is applied (collision probability seen/N per
+  draw, quadratically suppressed after the retry).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fields import Field
+from .tags import ID, ITEM, NEGATIVE, POSITIVE, SEQUENCE, USER
+
+__all__ = ["DeviceSeqSampler", "DeviceGenSampler"]
+
+
+class _DeviceSamplerBase:
+    """Marker base the Coach recognizes; exposes steps_per_epoch and a
+    jit-traceable `sample(epoch_key, step_idx) -> batch`."""
+
+    is_device_sampler = True
+
+    def set_seed(self, seed: int):
+        self.seed = int(seed)
+        return self
+
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
+        return self
+
+    def epoch_key(self):
+        return jax.random.fold_in(
+            jax.random.PRNGKey(getattr(self, "seed", 0)),
+            getattr(self, "epoch", 0),
+        )
+
+
+class DeviceSeqSampler(_DeviceSamplerBase):
+    """SASRec-style trainpipe on device: per epoch a permutation of
+    users; per row: input = seq[-(maxlen+1):-1] (+NUM_PADS, left-pad),
+    target = shift-by-one, one uniform negative per position."""
+
+    def __init__(
+        self,
+        dataset,
+        maxlen: int,
+        batch_size: int,
+        num_pads: int = 1,
+        num_negatives: int = 1,
+        exclude_seen: bool = True,
+    ):
+        self.dataset = dataset
+        self.maxlen = maxlen
+        self.batch_size = batch_size
+        self.num_pads = num_pads
+        self.num_negatives = num_negatives
+        self.exclude_seen = exclude_seen
+
+        User = dataset.fields[USER, ID]
+        Item = dataset.fields[ITEM, ID]
+        self.User, self.Item = User, Item
+        self.ISeq = Item.fork(SEQUENCE)
+        self.IPos = Item.fork(POSITIVE)
+        self.INeg = Item.fork(NEGATIVE)
+        self.num_items = Item.count
+
+        seqs = dataset.train().user_seqs()
+        W = maxlen + 1
+        packed = np.zeros((User.count, W), dtype=np.int32)  # raw ids + 1; 0 = pad
+        for u, s in enumerate(seqs):
+            tail = list(s)[-W:]
+            if len(tail) >= 2:
+                packed[u, W - len(tail):] = np.asarray(tail) + 1
+        valid_users = np.flatnonzero((packed != 0).sum(1) >= 2)
+        self._packed = jnp.asarray(packed)
+        self._valid_users = jnp.asarray(valid_users, jnp.int32)
+        self.steps_per_epoch = max(1, len(valid_users) // batch_size)
+
+    def sample(self, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
+        B, L = self.batch_size, self.maxlen
+        n = self._valid_users.shape[0]
+        perm = jax.random.permutation(epoch_key, n)
+        start = (step_idx * B) % jnp.maximum(n - B + 1, 1)
+        rows = jax.lax.dynamic_slice(perm, (start,), (B,))
+        users = self._valid_users[rows]
+        window = self._packed[users]  # (B, L+1) raw+1, 0 pad
+        inputs_raw = window[:, :-1]
+        targets_raw = window[:, 1:]
+        valid = targets_raw != 0
+        # ISeq carries NUM_PADS offset over raw ids (add_ semantics)
+        iseq = jnp.where(
+            inputs_raw != 0, inputs_raw - 1 + self.num_pads, 0
+        ).astype(jnp.int32)
+        ipos = jnp.where(valid, targets_raw - 1, 0).astype(jnp.int32)
+
+        key = jax.random.fold_in(epoch_key, step_idx)
+        negs = jax.random.randint(key, (B, L), 0, self.num_items)
+        if self.exclude_seen:
+            # one rejection round against the packed window
+            def collides(c):
+                return (c[..., None] + 1 == window[:, None, :]).any(-1)
+
+            retry = jax.random.randint(
+                jax.random.fold_in(key, 1), (B, L), 0, self.num_items
+            )
+            negs = jnp.where(collides(negs), retry, negs)
+        return {
+            self.User: users,
+            self.ISeq: iseq,
+            self.IPos: ipos,
+            self.INeg: negs.astype(jnp.int32),
+        }
+
+
+class DeviceGenSampler(_DeviceSamplerBase):
+    """MF-BPR-style trainpipe on device: per step uniform users, one
+    positive drawn from the user's packed history, K uniform negatives
+    (one rejection round against the history)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        num_negatives: int = 1,
+        max_history: int = 128,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_negatives = num_negatives
+
+        User = dataset.fields[USER, ID]
+        Item = dataset.fields[ITEM, ID]
+        self.User, self.Item = User, Item
+        self.IPos = Item.fork(POSITIVE)
+        self.INeg = Item.fork(NEGATIVE)
+        self.num_items = Item.count
+
+        seqs = dataset.train().user_seqs()
+        H = min(max_history, max((len(s) for s in seqs), default=1))
+        packed = np.zeros((User.count, H), dtype=np.int32)
+        counts = np.zeros(User.count, dtype=np.int32)
+        for u, s in enumerate(seqs):
+            tail = list(s)[-H:]
+            packed[u, : len(tail)] = np.asarray(tail) + 1
+            counts[u] = len(tail)
+        self._packed = jnp.asarray(packed)
+        self._counts = jnp.asarray(np.maximum(counts, 1))
+        self.steps_per_epoch = max(1, User.count // batch_size)
+
+    def sample(self, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
+        B, K = self.batch_size, self.num_negatives
+        key = jax.random.fold_in(epoch_key, step_idx)
+        users = jax.random.randint(
+            jax.random.fold_in(key, 0), (B,), 0, self.User.count
+        )
+        hist = self._packed[users]  # (B, H) raw+1
+        pick = jax.random.randint(
+            jax.random.fold_in(key, 1), (B,), 0, 2**30
+        ) % self._counts[users]
+        pos = jnp.take_along_axis(hist, pick[:, None], axis=1) - 1  # (B, 1)
+        negs = jax.random.randint(
+            jax.random.fold_in(key, 2), (B, K), 0, self.num_items
+        )
+        retry = jax.random.randint(
+            jax.random.fold_in(key, 3), (B, K), 0, self.num_items
+        )
+        collide = (negs[..., None] + 1 == hist[:, None, :]).any(-1)
+        negs = jnp.where(collide, retry, negs)
+        return {
+            self.User: users.astype(jnp.int32),
+            self.IPos: pos.astype(jnp.int32),
+            self.INeg: negs.astype(jnp.int32),
+        }

@@ -354,9 +354,60 @@ class Coach:
             )
         return self._flush("train", epoch)
 
+    def _device_train_epoch(self, epoch: int) -> None:
+        """Hot loop for on-device samplers (data/device.py): sampling is
+        folded INTO the jitted step — the host only issues
+        steps_per_epoch scalar-argument dispatches."""
+        sampler = self.trainpipe
+        if self.state is None:
+            first = jax.tree.map(
+                np.asarray, sampler.sample(sampler.epoch_key(), 0)
+            )
+            self._init_state({f: jnp.asarray(v) for f, v in first.items()})
+        key = ("device_step",)
+        if key not in self._jit_cache:
+
+            def step(state, epoch_key, step_idx, base_rng):
+                batch = sampler.sample(epoch_key, step_idx)
+                # derive the step rng ON DEVICE — a host-side split per
+                # step would serialize on the dispatch round-trip
+                rng = jax.random.fold_in(base_rng, state.step)
+
+                def loss_fn(params):
+                    return self.loss_of(params, batch, rng)
+
+                (loss, logs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params)
+                updates, opt_state = self.optimizer.update(
+                    grads, state.opt_state, state.params
+                )
+                params = optax.apply_updates(state.params, updates)
+                return TrainState(params, opt_state, state.step + 1), loss
+
+            self._jit_cache[key] = jax.jit(step, donate_argnums=0)
+        step_fn = self._jit_cache[key]
+        epoch_key = sampler.epoch_key()
+        B = sampler.batch_size
+        self._rng, base_rng = jax.random.split(self._rng)
+        losses = []
+        for i in range(sampler.steps_per_epoch):
+            self.state, loss = step_fn(
+                self.state, epoch_key, jnp.asarray(i, jnp.int32), base_rng
+            )
+            losses.append(loss)
+        # ONE device→host transfer for the whole epoch's losses — per-loss
+        # float() would pay a dispatch round-trip each
+        for loss in np.asarray(jnp.stack(losses)):
+            self.monitor(
+                float(loss), n=B, reduction="mean", mode="train", pool=["LOSS"]
+            )
+
     def train_per_epoch(self, epoch: int) -> None:
         """Default hot loop; per-model Coaches may override
         (reference requires the override — ours supplies a default)."""
+        if getattr(self.trainpipe, "is_device_sampler", False):
+            return self._device_train_epoch(epoch)
         if not hasattr(self, "_train_step_fn"):
             self._train_step_fn = None
         for data in self.dataloader:

@@ -59,6 +59,7 @@ CORE_DEFAULTS: Dict[str, Any] = dict(
     log2console=True,
     log2file=True,
     profile=None,  # directory for a jax.profiler trace of epoch 1
+    prng_impl=None,  # 'rbg' is ~1.5x faster for on-device sampling on TPU
     description="RecBoardTPU",
     device=None,
     ddp_backend="gspmd",  # reference default "nccl"; on TPU collectives are GSPMD/ICI
@@ -139,6 +140,10 @@ class Parser:
                 if key not in cli_set:
                     cfg[key] = value
 
+        if cfg.get("prng_impl"):
+            import jax
+
+            jax.config.update("jax_default_prng_impl", cfg["prng_impl"])
         cfg["seed"] = utils.set_seed(int(cfg.get("seed", 1)))
         if cfg.get("id") is None:
             cfg["id"] = time.strftime(TIME_FMT)
