@@ -134,6 +134,7 @@ class Coach:
         self.state: Optional[TrainState] = None
         self._rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
         self._jit_cache: Dict[Any, Callable] = {}
+        self._eval_cache: Dict[Any, Any] = {}
         self.start_epoch = 0
         self._wanted = self._parse_monitors(cfg.get("monitors", []))
 
@@ -534,23 +535,46 @@ class Coach:
             for b, k in self._wanted
             if b in metrics_lib.RANK_METRICS
         ]
-        for data in pipe:
-            # string-keyed marks (e.g. data["dataset"] from mark_) are
-            # static per-pipe values → threaded via the jit cache key
-            marks = tuple(
-                sorted((k, v) for k, v in data.items() if isinstance(k, str))
-            )
+        # eval batches are static per (dataset, split, ranking): densify
+        # once and reuse across epochs instead of re-walking the pipe
+        cache_key = (mode, self.ranking)
+        cached = self._eval_cache.get(cache_key)
+        if cached is None:
+            cached = []
+            for data in pipe:
+                marks = tuple(
+                    sorted((k, v) for k, v in data.items() if isinstance(k, str))
+                )
+                batch, aux, valid_rows, B = self._densify_eval_batch(data)
+                cached.append(
+                    (
+                        marks,
+                        {f: jnp.asarray(v) for f, v in batch.items()},
+                        jnp.asarray(aux["seen_ids"])
+                        if aux.get("seen_ids") is not None
+                        else None,
+                        jnp.asarray(aux["target_ids"]),
+                        jnp.asarray(valid_rows),
+                        B,
+                    )
+                )
+            self._eval_cache[cache_key] = cached
+
+        # dispatch all batches, fetch all sums in one host sync at the end
+        pending = []
+        for marks, batch, seen_ids, target_ids, valid_rows, B in cached:
             fn = self._eval_step_fn(self.ranking, marks)
-            batch, aux, valid_rows, B = self._densify_eval_batch(data)
-            batch = {f: jnp.asarray(v) for f, v in batch.items()}
             sums = fn(
-                self.state.params,
-                buffers,
-                batch,
-                jnp.asarray(aux["seen_ids"]) if aux.get("seen_ids") is not None else None,
-                jnp.asarray(aux["target_ids"]),
-                jnp.asarray(valid_rows),
+                self.state.params, buffers, batch, seen_ids, target_ids, valid_rows
             )
+            pending.append((marks, B, sums))
+        # one bulk device→host fetch for every batch's metric sums
+        fetched = jax.device_get([s for _, _, s in pending])
+        pending = [
+            (marks, B, sums)
+            for (marks, B, _), sums in zip(pending, fetched)
+        ]
+        for marks, B, sums in pending:
             sums = {k: float(v) for k, v in sums.items()}
             values = [sums[name] / max(B, 1) for name in pool if name in sums]
             self.monitor(*values, n=B, reduction="mean", mode=mode, pool=pool)
