@@ -127,8 +127,11 @@ def build_model(name: str, dataset: RecDataSet, cfg: Dict[str, Any]):
 def build_pipes(model, cfg):
     import inspect
 
+    from .models.base import GenRecArch, SeqRecArch
+
     sig = inspect.signature(model.sure_trainpipe)
-    if "maxlen" in sig.parameters:
+    seq_style = "maxlen" in sig.parameters
+    if seq_style:
         trainpipe = model.sure_trainpipe(int(cfg.maxlen), int(cfg.batch_size))
         validpipe = model.sure_validpipe(int(cfg.maxlen), ranking=cfg.ranking)
         testpipe = model.sure_testpipe(int(cfg.maxlen), ranking=cfg.ranking)
@@ -136,6 +139,30 @@ def build_pipes(model, cfg):
         trainpipe = model.sure_trainpipe(int(cfg.batch_size))
         validpipe = model.sure_validpipe(cfg.ranking)
         testpipe = model.sure_testpipe(cfg.ranking)
+
+    if cfg.get("on_device_sampling"):
+        from .data.device import DeviceGenSampler, DeviceSeqSampler
+
+        # only for models whose trainpipe follows the standard window /
+        # choiced-user protocols (others keep the generator pipes)
+        if type(model).__name__ in ("SASRec", "STOSA", "SEvo"):
+            trainpipe = DeviceSeqSampler(
+                model.dataset,
+                maxlen=int(cfg.maxlen),
+                batch_size=int(cfg.batch_size),
+                num_pads=model.NUM_PADS,
+            )
+        elif isinstance(model, GenRecArch):
+            trainpipe = DeviceGenSampler(
+                model.dataset, batch_size=int(cfg.batch_size)
+            )
+        else:
+            from . import utils
+
+            utils.warnLogger(
+                f"[run] >>> on_device_sampling unsupported for "
+                f"{type(model).__name__}; using generator pipes"
+            )
     return trainpipe, validpipe, testpipe
 
 
