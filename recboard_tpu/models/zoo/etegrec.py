@@ -410,18 +410,25 @@ class ETEGRecCoach(Coach):
             for tok in (row + offsets).tolist():
                 node = child(node, tok)
             node_item[node] = item_id
+        # pad the node count to a power-of-two bucket so refreshed tries
+        # keep a stable shape → the jitted eval step doesn't recompile
         n = len(children)
-        allowed = np.zeros((n, V), dtype=bool)
-        next_node = np.full((n, V), -1, dtype=np.int32)
+        n_pad = 1
+        while n_pad < n:
+            n_pad *= 2
+        allowed = np.zeros((n_pad, V), dtype=bool)
+        next_node = np.full((n_pad, V), -1, dtype=np.int32)
         for i, kids in enumerate(children):
             for t, j in kids.items():
                 allowed[i, t] = True
                 next_node[i, t] = j
+        items_arr = np.full(n_pad, -1, np.int32)
+        items_arr[:n] = np.asarray(node_item, np.int32)
         for i in range(n):
-            if node_item[i] >= 0:
+            if items_arr[i] >= 0:
                 allowed[i, 0] = True
                 next_node[i, 0] = i
-        return allowed, next_node, np.asarray(node_item, np.int32)
+        return allowed, next_node, items_arr
 
     def loss_of(self, params, batch, rng):
         loss, logs = self.model.apply(
@@ -493,23 +500,44 @@ class ETEGRecCoach(Coach):
         pool = [metrics_lib.fmt_metric(b, k) for b, k in wanted]
         item_code = jnp.asarray(self._item_code)
         trie = tuple(jnp.asarray(t) for t in self._trie)
+
+        step_key = ("eteg_eval", self.remove_seen)
+        if step_key not in self._jit_cache:
+
+            def eval_step(params, batch, item_code, trie, seen_ids,
+                          target_ids, valid_rows):
+                batch = dict(batch)
+                batch["item_code"] = item_code
+                batch["trie"] = trie
+                scores = self.model.apply(
+                    {"params": params}, batch, None,
+                    method="recommend_from_full",
+                )
+                if self.remove_seen and seen_ids is not None:
+                    rows = jnp.arange(scores.shape[0])[:, None]
+                    scores = scores.at[rows, seen_ids].set(-1e23, mode="drop")
+                return metrics_lib.rank_metrics(
+                    scores, target_ids, wanted, valid_rows
+                )
+
+            self._jit_cache[step_key] = jax.jit(eval_step)
+        eval_step = self._jit_cache[step_key]
+
+        pending = []
         for data in pipe:
             batch, aux, valid_rows, B = self._densify_eval_batch(data)
             batch = {f: jnp.asarray(v) for f, v in batch.items()}
-            batch["item_code"] = item_code
-            batch["trie"] = trie
-            scores = self.model.apply(
-                {"params": self.state.params}, batch, None,
-                method="recommend_from_full",
-            )
-            if self.remove_seen and aux.get("seen_ids") is not None:
-                rows = jnp.arange(scores.shape[0])[:, None]
-                scores = scores.at[rows, jnp.asarray(aux["seen_ids"])].set(
-                    -1e23, mode="drop"
-                )
-            sums = metrics_lib.rank_metrics(
-                scores, jnp.asarray(aux["target_ids"]), wanted,
+            sums = eval_step(
+                self.state.params, batch, item_code, trie,
+                jnp.asarray(aux["seen_ids"])
+                if self.remove_seen and aux.get("seen_ids") is not None
+                else None,
+                jnp.asarray(aux["target_ids"]),
                 jnp.asarray(valid_rows),
             )
+            pending.append((B, sums))
+        for (B, sums) in zip(
+            [b for b, _ in pending], jax.device_get([s for _, s in pending])
+        ):
             values = [float(sums[name]) / max(B, 1) for name in pool if name in sums]
             self.monitor(*values, n=B, reduction="mean", mode=mode, pool=pool)
