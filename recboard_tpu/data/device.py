@@ -130,6 +130,52 @@ class DeviceSeqSampler(_DeviceSamplerBase):
         }
 
 
+class DeviceTimeSeqSampler(DeviceSeqSampler):
+    """HSTU-style trainpipe on device: like DeviceSeqSampler but also
+    carries the aligned timestamp column (shuffled_time_seqs_source +
+    time_seq_train_yielding_pos_, HSTU/sampler.py). Negatives are drawn
+    by the model itself (HSTU samples in fit), so none here."""
+
+    def __init__(self, dataset, maxlen: int, batch_size: int, num_pads: int = 1):
+        super().__init__(dataset, maxlen, batch_size, num_pads, exclude_seen=False)
+        from .tags import TIMESTAMP
+
+        self.Time = dataset.fields[TIMESTAMP].fork(SEQUENCE)
+        times = dataset.train().user_time_seqs()
+        W = maxlen + 1
+        t0 = min((t[0] for t in times if t), default=0)
+        packed_t = np.zeros((self.User.count, W), dtype=np.int32)
+        for u, t in enumerate(times):
+            tail = list(t)[-W:]
+            if len(tail) >= 2:
+                packed_t[u, W - len(tail):] = np.asarray(tail) - t0
+        self._packed_t = jnp.asarray(packed_t)
+
+    def sample(self, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
+        B, L = self.batch_size, self.maxlen
+        n = self._valid_users.shape[0]
+        perm = jax.random.permutation(epoch_key, n)
+        start = (step_idx * B) % jnp.maximum(n - B + 1, 1)
+        rows = jax.lax.dynamic_slice(perm, (start,), (B,))
+        users = self._valid_users[rows]
+        window = self._packed[users]
+        t_window = self._packed_t[users]
+        inputs_raw = window[:, :-1]
+        targets_raw = window[:, 1:]
+        valid = targets_raw != 0
+        iseq = jnp.where(
+            inputs_raw != 0, inputs_raw - 1 + self.num_pads, 0
+        ).astype(jnp.int32)
+        ipos = jnp.where(valid, targets_raw - 1, 0).astype(jnp.int32)
+        times = jnp.where(inputs_raw != 0, t_window[:, :-1], 0).astype(jnp.int32)
+        return {
+            self.User: users,
+            self.ISeq: iseq,
+            self.IPos: ipos,
+            self.Time: times,
+        }
+
+
 class DeviceGenSampler(_DeviceSamplerBase):
     """MF-BPR-style trainpipe on device: per step uniform users, one
     positive drawn from the user's packed history, K uniform negatives

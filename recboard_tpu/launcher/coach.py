@@ -701,18 +701,37 @@ class Coach:
 
     @dist.main_process_only
     def save_checkpoint(self, epoch: int) -> None:
+        """Async checkpoint: device→host fetch happens here (cheap sync),
+        serialization + disk write run in a background thread with an
+        atomic rename — training resumes immediately and preemption
+        can't truncate the file (SURVEY.md §5.3; the reference only has
+        synchronous epoch-granularity torch.save)."""
         path = self.cfg.CHECKPOINT_PATH
         utils.mkdirs(path)
         payload = {
             "epoch": epoch,
             "state": self._state_dict(),
-            "history": self.history,
+            "history": {k: list(v) for k, v in self.history.items()},
             "best": (self._best, self._best_epoch, self._stopping_steps),
             "rng": np.asarray(self._rng),
         }
-        utils.export_pickle(payload, os.path.join(path, self.cfg.CHECKPOINT_FILENAME))
+        self._join_checkpoint_writer()
+        import threading
+
+        self._ckpt_thread = threading.Thread(
+            target=utils.export_pickle,
+            args=(payload, os.path.join(path, self.cfg.CHECKPOINT_FILENAME)),
+            daemon=True,
+        )
+        self._ckpt_thread.start()
+
+    def _join_checkpoint_writer(self) -> None:
+        thread = getattr(self, "_ckpt_thread", None)
+        if thread is not None and thread.is_alive():
+            thread.join()
 
     def load_checkpoint(self) -> int:
+        self._join_checkpoint_writer()
         file_ = os.path.join(self.cfg.CHECKPOINT_PATH, self.cfg.CHECKPOINT_FILENAME)
         payload = utils.import_pickle(file_)
         self._load_state_dict(payload["state"])
@@ -775,6 +794,15 @@ class Coach:
         utils.export_pickle(
             self.history, os.path.join(cfg.LOG_PATH, cfg.MONITOR_FILENAME)
         )
+        utils.export_pickle(
+            {
+                "best": best_summary,
+                "which4best": self._best_key,
+                "value": self._best,
+                "epoch": self._best_epoch,
+            },
+            os.path.join(cfg.LOG_PATH, cfg.MONITOR_BEST_FILENAME),
+        )
         lines = [f"# {cfg.description}", ""]
         for mode, vals in metrics.items():
             lines.append(f"## {mode}")
@@ -811,6 +839,7 @@ class Coach:
         except KeyboardInterrupt:
             utils.warnLogger("[Coach] >>> interrupted; saving last state")
 
+        self._join_checkpoint_writer()
         self.save_last()
 
         # final eval at last state

@@ -127,10 +127,15 @@ def mkdirs(*paths: str) -> None:
         os.makedirs(path, exist_ok=True)
 
 
-def export_pickle(data: Any, file_: str) -> None:
+def export_pickle(data: Any, file_: str, atomic: bool = True) -> None:
+    """Pickle with an atomic rename — a preempted write never leaves a
+    truncated checkpoint behind (SURVEY.md §5.3)."""
     mkdirs(os.path.dirname(os.path.abspath(file_)))
-    with open(file_, "wb") as fh:
+    target = file_ + ".tmp" if atomic else file_
+    with open(target, "wb") as fh:
         pickle.dump(data, fh, pickle.HIGHEST_PROTOCOL)
+    if atomic:
+        os.replace(target, file_)
 
 
 def import_pickle(file_: str) -> Any:

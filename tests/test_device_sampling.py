@@ -88,3 +88,34 @@ def test_coach_with_device_sampler(tiny_dataset, tmp_path):
     coach.evaluate(3, mode="valid")
     summary = coach._flush("valid", 3)
     assert "NDCG@10" in summary
+
+
+def test_device_time_seq_sampler_hstu(tiny_dataset, tmp_path):
+    from recboard_tpu.data.device import DeviceTimeSeqSampler
+    from recboard_tpu.launcher import Coach
+    from recboard_tpu.models.zoo import HSTU
+    from recboard_tpu.parser import Parser
+
+    model = HSTU(tiny_dataset, maxlen=8, num_blocks=1, num_heads=2,
+                 embedding_dim=16, num_negs=8, temperature=0.2)
+    sampler = DeviceTimeSeqSampler(tiny_dataset, maxlen=8, batch_size=16)
+    # timestamps align with items (same padding pattern)
+    batch = jax.jit(lambda k: sampler.sample(k, 0))(sampler.set_seed(0).epoch_key())
+    seqs = np.asarray(batch[model.ISeq])
+    times = np.asarray(batch[sampler.Time])
+    np.testing.assert_array_equal(seqs == 0, times == 0)
+
+    p = Parser()
+    p.set_defaults(
+        description="HSTU", root="x", dataset="tiny", epochs=3, batch_size=16,
+        lr=5e-3, eval_freq=10, log2file=False, log2console=False,
+        log_path=str(tmp_path / "l"), checkpoint_path=str(tmp_path / "i"),
+        monitors=["LOSS"], which4best="LOSS", seed=0,
+    )
+    cfg = p.compile([])
+    coach = Coach(dataset=tiny_dataset, trainpipe=sampler, validpipe=None,
+                  testpipe=None, model=model, cfg=cfg)
+    for epoch in range(3):
+        coach.train(epoch)
+    losses = [h["LOSS"] for h in coach.history["train"]]
+    assert losses[-1] < losses[0]
