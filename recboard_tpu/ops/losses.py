@@ -35,7 +35,38 @@ __all__ = [
     "sampled_softmax_loss",
     "sampled_softmax_loss_reference",
     "sampled_softmax_loss_pallas",
+    "sampled_softmax_loss_shared",
 ]
+
+
+def sampled_softmax_loss_shared(
+    user: jnp.ndarray,  # (M, D)
+    pos_ids: jnp.ndarray,  # (M,)
+    neg_ids: jnp.ndarray,  # (K,) shared across all positions
+    table: jnp.ndarray,  # (N, D)
+    weights: jnp.ndarray,  # (M,)
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Sampled softmax with one SHARED negative set per step.
+
+    TPU-first reformulation of the per-position variant: instead of
+    gathering (M, C, D) candidate embeddings (M·C random HBM rows —
+    gather/scatter bound), gather K shared rows once and hit the MXU
+    with a single (M, D) @ (D, K) matmul. With uniform sampling the
+    estimator is the standard shared-negative sampled softmax (same
+    family the reference's per-position sampler approximates,
+    HSTU/main.py:157-201); accidental positive hits are left in, as in
+    the reference.
+    """
+    neg = table[neg_ids]  # (K, D) — the only gather beyond positives
+    pos = table[pos_ids]  # (M, D)
+    pos_logit = (user * pos).sum(-1) / temperature  # (M,)
+    neg_logits = (user @ neg.T) / temperature  # (M, K) — MXU
+    logz = jax.scipy.special.logsumexp(
+        jnp.concatenate([pos_logit[:, None], neg_logits], axis=1), axis=-1
+    )
+    loss = (logz - pos_logit) * weights
+    return loss.sum() / jnp.maximum(weights.sum(), 1.0)
 
 
 def sampled_softmax_loss_reference(

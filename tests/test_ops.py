@@ -89,3 +89,51 @@ def test_sampled_softmax_pallas_interpret():
     a = L.sampled_softmax_loss_reference(user, ids, table, w, 1.0)
     b = L.sampled_softmax_loss_pallas(user, ids, table, w, 1.0, block=32, interpret=True)
     np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+
+def test_sampled_softmax_shared_matches_reference():
+    # Shared negatives == per-position variant when every row is handed
+    # the SAME candidate list [pos; negs].
+    from recboard_tpu.ops import losses as L
+
+    rng = np.random.default_rng(7)
+    M, K, D, N = 48, 9, 8, 32
+    user = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    pos = jnp.asarray(rng.integers(0, N, size=(M,)), jnp.int32)
+    negs = jnp.asarray(rng.integers(0, N, size=(K,)), jnp.int32)
+    table = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    w = jnp.asarray(rng.integers(0, 2, size=(M,)), jnp.float32)
+    ids = jnp.concatenate([pos[:, None], jnp.tile(negs[None, :], (M, 1))], axis=1)
+    a = L.sampled_softmax_loss_reference(user, ids, table, w, 0.3)
+    b = L.sampled_softmax_loss_shared(user, pos, negs, table, w, 0.3)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+    ga = jax.grad(lambda t: L.sampled_softmax_loss_reference(user, ids, t, w, 0.3))(table)
+    gb = jax.grad(lambda t: L.sampled_softmax_loss_shared(user, pos, negs, t, w, 0.3))(table)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
+
+
+def test_hstu_shared_negs_learns(tiny_dataset):
+    from recboard_tpu.data.device import DeviceTimeSeqSampler
+    from recboard_tpu.launcher import Coach
+    from recboard_tpu.models.zoo import HSTU
+    from recboard_tpu.parser import Parser
+    import tempfile, os
+
+    model = HSTU(tiny_dataset, maxlen=8, num_blocks=1, num_heads=2,
+                 embedding_dim=16, num_negs=16, temperature=0.2,
+                 shared_negs=True)
+    sampler = DeviceTimeSeqSampler(tiny_dataset, maxlen=8, batch_size=16)
+    tmp = tempfile.mkdtemp()
+    p = Parser()
+    p.set_defaults(description="HSTU", root="x", dataset="tiny", epochs=3,
+                   batch_size=16, lr=5e-3, eval_freq=10, log2file=False,
+                   log2console=False, log_path=os.path.join(tmp, "l"),
+                   checkpoint_path=os.path.join(tmp, "i"),
+                   monitors=["LOSS"], which4best="LOSS", seed=0)
+    cfg = p.compile([])
+    coach = Coach(dataset=tiny_dataset, trainpipe=sampler, validpipe=None,
+                  testpipe=None, model=model, cfg=cfg)
+    for epoch in range(3):
+        coach.train(epoch)
+    losses = [h["LOSS"] for h in coach.history["train"]]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
