@@ -107,7 +107,7 @@ def dot_all_items_row_sharded(
     """Full-catalog scoring q @ table.T with the catalog axis sharded:
     each shard computes its (B, V/P) score block; the result stays
     sharded over the item axis for the distributed top-k merge
-    (ops/topk.sharded_top_k). Replaces the reference's single-GPU
+    (parallel/topk.sharded_top_k). Replaces the reference's single-GPU
     einsum("BD,ND->BN") (SASRec/main.py:228)."""
 
     def local(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:

@@ -74,3 +74,43 @@ def test_gspmd_lookup_under_jit(mesh8):
         return tables.lookup(t, i)
 
     np.testing.assert_allclose(np.asarray(f(sharded, ids)), np.asarray(table[ids]))
+
+
+def test_sharded_top_k_matches_dense():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec
+    from recboard_tpu.parallel import make_mesh, topk
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(11)
+    B, V, k = 16, 64, 10
+    scores = jnp.asarray(rng.normal(size=(B, V)), jnp.float32)
+    # inject ties to pin tie-breaking to lowest-index-wins
+    scores = scores.at[:, 7].set(scores[:, 3])
+    sharded = jax.device_put(scores, NamedSharding(mesh, PartitionSpec(None, "model")))
+    v, i = jax.jit(lambda s: topk.sharded_top_k(mesh, s, k))(sharded)
+    v_ref, i_ref = jax.lax.top_k(scores, k)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_rank_top_k_row_sharded():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec
+    from recboard_tpu.parallel import make_mesh, tables, topk
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(3)
+    B, V, D, k = 8, 48, 16, 5
+    q = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    t = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    ts = jax.device_put(t, NamedSharding(mesh, tables.row_sharded_spec()))
+    v, i = jax.jit(lambda q, t: topk.rank_top_k_row_sharded(mesh, q, t, k))(q, ts)
+    s_ref = q @ t.T
+    v_ref, i_ref = jax.lax.top_k(s_ref, k)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
