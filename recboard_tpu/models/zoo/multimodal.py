@@ -87,6 +87,7 @@ class _MMBase(_GraphRecBase):
 class MMGCN(_MMBase):
     """Per-modality GCN towers over the left-normalized UI adjacency,
     fused with ID embeddings, averaged over modalities."""
+    REQUIRES_MODALITY = True
 
     embedding_dim: int = 64
     num_layers: int = 3
@@ -206,6 +207,7 @@ class MMGCN(_MMBase):
 class LATTICE(_MMBase):
     """UI LightGCN + learnable modality kNN item graph
     (origin_ratio · frozen + (1-ratio) · learned from projected feats)."""
+    REQUIRES_MODALITY = True
 
     embedding_dim: int = 64
     num_ui_layers: int = 2
@@ -312,6 +314,7 @@ class LATTICE(_MMBase):
 class FREEDOM(_MMBase):
     """Frozen modality kNN item graph + degree-sampled UI graph in
     training; modality BPR heads; full Adj at eval."""
+    REQUIRES_MODALITY = True
 
     embedding_dim: int = 64
     num_ui_layers: int = 2
@@ -555,6 +558,7 @@ class BM3(_MMBase):
 @register("MGCN")
 class MGCN(_MMBase):
     """Gated modality purifier + behavior-aware fusion + InfoNCE."""
+    REQUIRES_MODALITY = True
 
     embedding_dim: int = 64
     num_layers: int = 2

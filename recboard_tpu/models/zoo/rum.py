@@ -22,6 +22,7 @@ from . import register
 
 @register("RUM")
 class RUM(SeqRecArch):
+    SUPPORTED_RANKINGS = ("pool",)
     maxlen: int = 50
     embedding_dim: int = 64
     alpha: float = 0.2

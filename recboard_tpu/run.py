@@ -30,6 +30,14 @@ def build_model(name: str, dataset: RecDataSet, cfg: Dict[str, Any]):
             f"unknown model {name!r}; available: {', '.join(sorted(REGISTRY))}"
         )
     cls = REGISTRY[name]
+    from .models.base import PredRecArch
+
+    if issubclass(cls, PredRecArch) and dataset.tasktag != TaskTag.PREDICTION:
+        raise SystemExit(
+            f"model {name!r} is a CTR/prediction model: run it with "
+            "--tasktag PREDICTION on a prediction dataset plus a YAML "
+            "`fields:` schema (see configs/ and DeepFM/README.md semantics)"
+        )
     fields = model_field_names(cls)
     kwargs = {k: cfg[k] for k in fields if k in cfg and cfg[k] is not None}
     if "adj" in fields and "adj" not in kwargs:
@@ -115,6 +123,15 @@ def build_model(name: str, dataset: RecDataSet, cfg: Dict[str, Any]):
         for field_name, why in hard_required.items()
         if field_name in fields and kwargs.get(field_name) is None
     ]
+    if getattr(cls, "REQUIRES_MODALITY", False) and all(
+        kwargs.get(k) is None
+        for k in ("vfeats", "tfeats", "m_knn", "v_knn", "t_knn")
+        if k in fields
+    ):
+        blocking.append(
+            "vfeats/tfeats: needs at least one modality-feature pickle "
+            "(--vfile/--tfile pointing into the dataset dir)"
+        )
     if blocking:
         raise SystemExit(
             f"model {name!r} needs inputs the generic runner was not given:\n  "
@@ -206,12 +223,16 @@ def main(argv: Optional[list] = None):
     parser = Parser()
     parser.add_argument("--model", type=str, default="SASRec")
     parser.add_argument("--maxlen", type=int, default=50)
-    parser.add_argument("--embedding-dim", type=int, default=64)
-    parser.add_argument("--num-heads", type=int, default=1)
-    parser.add_argument("--num-blocks", type=int, default=2)
-    parser.add_argument("--num-layers", type=int, default=3)
-    parser.add_argument("--hidden-size", type=int, default=128)
-    parser.add_argument("--dropout-rate", type=float, default=0.2)
+    # default None: a generic CLI default here would silently override a
+    # model's own dataclass default (STAMP requires hidden_size ==
+    # embedding_dim, exactly like the reference STAMP/main.py:64-65 —
+    # a blanket 128 broke it); only explicit values flow through
+    parser.add_argument("--embedding-dim", type=int, default=None)
+    parser.add_argument("--num-heads", type=int, default=None)
+    parser.add_argument("--num-blocks", type=int, default=None)
+    parser.add_argument("--num-layers", type=int, default=None)
+    parser.add_argument("--hidden-size", type=int, default=None)
+    parser.add_argument("--dropout-rate", type=float, default=None)
     parser.add_argument("--loss", type=str, default=None)
     parser.add_argument("--vfile", type=str, default=None)
     parser.add_argument("--tfile", type=str, default=None)
@@ -228,6 +249,13 @@ def main(argv: Optional[list] = None):
     # LightGCN/main.py:131-154) — zero the optimizer-side decay
     if "weight_decay" in model_field_names(type(model)):
         cfg.weight_decay = 0.0
+    supported = getattr(type(model), "SUPPORTED_RANKINGS", ("full", "pool"))
+    if cfg.ranking not in supported:
+        utils.warnLogger(
+            f"[run] >>> {cfg.model} does not support ranking={cfg.ranking!r} "
+            f"(reference raises NotImplementedError); using {supported[0]!r}"
+        )
+        cfg.ranking = supported[0]
     trainpipe, validpipe, testpipe = build_pipes(model, cfg)
     coach = Coach(
         dataset=dataset,
