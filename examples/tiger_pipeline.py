@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--sem-feat-file", required=True,
                     help="pickle of (N_items, F) semantic features in the dataset dir")
     ap.add_argument("--collab-feat-file", default=None)
+    ap.add_argument("--on-device-sampling", action="store_true",
+                    help="stage-B roll windows sampled inside the jitted "
+                         "step (DeviceRollSeqSampler) instead of the "
+                         "host generator pipe")
     ap.add_argument("--strategy", default="ste",
                     choices=("ste", "gumbel", "rotation", "simvq", "product"))
     ap.add_argument("--kmeans", default=None, choices=(None, "residual", "product"))
@@ -125,9 +129,18 @@ def main():
     cfg_b = pb.compile([])
     model = TIGER(ds, converter=converter, maxlen=args.maxlen,
                   num_beams=args.num_beams)
+    if args.on_device_sampling:
+        from recboard_tpu.data.device import DeviceRollSeqSampler
+
+        trainpipe = DeviceRollSeqSampler(
+            ds, maxlen=args.maxlen, batch_size=args.batch_size,
+            num_pads=0, pad_value=model.Item.count,
+        )
+    else:
+        trainpipe = model.sure_trainpipe(args.maxlen, args.batch_size)
     coach_b = Coach(
         dataset=ds,
-        trainpipe=model.sure_trainpipe(args.maxlen, args.batch_size),
+        trainpipe=trainpipe,
         validpipe=model.sure_validpipe(args.maxlen, "full"),
         testpipe=model.sure_testpipe(args.maxlen, "full"),
         model=model,

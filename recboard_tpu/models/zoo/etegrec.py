@@ -80,7 +80,8 @@ class ETEGRec(SeqRecArch):
     num_heads: int = 4
     num_layers: int = 2
     num_decoder_layers: int = 2
-    ffn_dim: int = 512
+    ffn_dim: int = 512  # T5 d_ff (ETEGRec/train_etegrec.py:42)
+    head_dim: int = 64  # T5 d_kv (ETEGRec/train_etegrec.py:41)
     dropout_rate: float = 0.1
     num_beams: int = 10
     temperature: float = 0.07
@@ -134,6 +135,7 @@ class ETEGRec(SeqRecArch):
             num_encoder_layers=self.num_layers,
             num_decoder_layers=self.num_decoder_layers,
             ffn_dim=self.ffn_dim,
+            head_dim=self.head_dim,
             dropout=self.dropout_rate,
             pad_id=0,
         )

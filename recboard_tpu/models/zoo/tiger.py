@@ -234,7 +234,8 @@ class TIGER(SeqRecArch):
     num_heads: int = 6
     num_encoder_layers: int = 4
     num_decoder_layers: int = 4
-    ffn_dim: int = 1024
+    ffn_dim: int = 256  # T5 d_ff = 4*d_kv (TIGER/train_t5.py:22)
+    head_dim: int = 64  # T5 d_kv (TIGER/train_t5.py:21)
     dropout_rate: float = 0.1
 
     def setup(self):
@@ -253,6 +254,7 @@ class TIGER(SeqRecArch):
             num_encoder_layers=self.num_encoder_layers,
             num_decoder_layers=self.num_decoder_layers,
             ffn_dim=self.ffn_dim,
+            head_dim=self.head_dim,
             dropout=self.dropout_rate,
             pad_id=conv.pad_id,
         )

@@ -158,11 +158,25 @@ def build_pipes(model, cfg):
         testpipe = model.sure_testpipe(cfg.ranking)
 
     if cfg.get("on_device_sampling"):
-        from .data.device import DeviceGenSampler, DeviceSeqSampler
+        from .data.device import (
+            DeviceGenSampler,
+            DeviceRollSeqSampler,
+            DeviceSeqSampler,
+        )
+        from .models.zoo.tiger import TIGER as _TIGER
 
         # only for models whose trainpipe follows the standard window /
         # choiced-user protocols (others keep the generator pipes)
-        if type(model).__name__ in ("SASRec", "STOSA", "SEvo"):
+        if isinstance(model, _TIGER):
+            # roll-window pipe, item.count-padded, no id offset
+            trainpipe = DeviceRollSeqSampler(
+                model.dataset,
+                maxlen=int(cfg.maxlen),
+                batch_size=int(cfg.batch_size),
+                num_pads=0,
+                pad_value=model.Item.count,
+            )
+        elif type(model).__name__ in ("SASRec", "STOSA", "SEvo"):
             trainpipe = DeviceSeqSampler(
                 model.dataset,
                 maxlen=int(cfg.maxlen),

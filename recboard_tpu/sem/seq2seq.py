@@ -82,11 +82,15 @@ class MultiHeadAttn(nn.Module):
     dim: int
     num_heads: int
     dropout: float = 0.1
+    head_dim: Optional[int] = None  # T5 d_kv: decoupled from dim//H
 
     @nn.compact
     def __call__(self, q_in, kv_in, mask, bias=None, deterministic=True):
         H = self.num_heads
-        hd = self.dim // H
+        # T5 keeps d_kv fixed (64) regardless of num_heads; dim//H would
+        # give lane-hostile 21-wide heads at d_model=128, H=6
+        # (TIGER/train_t5.py:21, ETEGRec/train_etegrec.py:41)
+        hd = self.head_dim or self.dim // H
         init = nn.initializers.normal(stddev=self.dim**-0.5)
         q = nn.DenseGeneral((H, hd), use_bias=False, kernel_init=init, name="q")(q_in)
         k = nn.DenseGeneral((H, hd), use_bias=False, kernel_init=init, name="k")(kv_in)
@@ -124,10 +128,11 @@ class EncoderBlock(nn.Module):
     num_heads: int
     ffn_dim: int
     dropout: float = 0.1
+    head_dim: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, mask, bias, deterministic=True):
-        h = MultiHeadAttn(self.dim, self.num_heads, self.dropout)(
+        h = MultiHeadAttn(self.dim, self.num_heads, self.dropout, self.head_dim)(
             RMSNorm()(x), RMSNorm()(x), mask, bias, deterministic
         )
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -142,14 +147,17 @@ class DecoderBlock(nn.Module):
     num_heads: int
     ffn_dim: int
     dropout: float = 0.1
+    head_dim: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, enc, self_mask, cross_mask, bias, deterministic=True):
-        h = MultiHeadAttn(self.dim, self.num_heads, self.dropout, name="self_attn")(
+        h = MultiHeadAttn(self.dim, self.num_heads, self.dropout, self.head_dim,
+                          name="self_attn")(
             RMSNorm()(x), RMSNorm()(x), self_mask, bias, deterministic
         )
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = MultiHeadAttn(self.dim, self.num_heads, self.dropout, name="cross_attn")(
+        h = MultiHeadAttn(self.dim, self.num_heads, self.dropout, self.head_dim,
+                          name="cross_attn")(
             RMSNorm()(x), RMSNorm()(enc), cross_mask, None, deterministic
         )
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -170,6 +178,7 @@ class Seq2SeqTransformer(nn.Module):
     ffn_dim: int = 512
     dropout: float = 0.1
     pad_id: int = 0
+    head_dim: Optional[int] = 64  # T5 d_kv default
 
     def setup(self):
         self.shared = nn.Embed(
@@ -183,11 +192,13 @@ class Seq2SeqTransformer(nn.Module):
             self.num_heads, bidirectional=False, name="dec_bias"
         )
         self.encoder_blocks = [
-            EncoderBlock(self.dim, self.num_heads, self.ffn_dim, self.dropout)
+            EncoderBlock(self.dim, self.num_heads, self.ffn_dim, self.dropout,
+                         self.head_dim)
             for _ in range(self.num_encoder_layers)
         ]
         self.decoder_blocks = [
-            DecoderBlock(self.dim, self.num_heads, self.ffn_dim, self.dropout)
+            DecoderBlock(self.dim, self.num_heads, self.ffn_dim, self.dropout,
+                         self.head_dim)
             for _ in range(self.num_decoder_layers)
         ]
         self.enc_final_ln = RMSNorm()

@@ -119,3 +119,72 @@ def test_device_time_seq_sampler_hstu(tiny_dataset, tmp_path):
         coach.train(epoch)
     losses = [h["LOSS"] for h in coach.history["train"]]
     assert losses[-1] < losses[0]
+
+
+def test_device_roll_seq_sampler_semantics(tiny_dataset):
+    from recboard_tpu.data.device import DeviceRollSeqSampler
+
+    maxlen = 6
+    pad = tiny_dataset.fields[1] if False else None
+    s = DeviceRollSeqSampler(tiny_dataset, maxlen=maxlen, batch_size=16,
+                             pad_value=10_000).set_seed(0)
+    s.set_epoch(0)
+    seqs = tiny_dataset.train().user_seqs()
+    n_windows = sum(max(0, len(q) - 1) for q in seqs)
+    assert s.num_windows == n_windows
+    batch = jax.jit(lambda k: s.sample(k, 0))(s.epoch_key())
+    iseq = np.asarray(batch[s.ISeq])
+    ipos = np.asarray(batch[s.IPos])
+    users = np.asarray(batch[s.User])
+    for b in range(16):
+        u = users[b]
+        row = [x for x in iseq[b] if x != 10_000]
+        # row must be a contiguous window of u's sequence ending right
+        # before the target
+        seq = list(seqs[u])
+        assert ipos[b, 0] in seq
+        e = None
+        for cand in range(1, len(seq) + 1):
+            if seq[cand - 1] == ipos[b, 0] and seq[max(0, cand - 1 - maxlen):cand - 1] == row:
+                e = cand
+                break
+        assert e is not None, (row, ipos[b, 0], seq)
+    # determinism within an epoch, reshuffle across epochs
+    b2 = jax.jit(lambda k: s.sample(k, 0))(s.epoch_key())
+    np.testing.assert_array_equal(np.asarray(b2[s.User]), users)
+    s.set_epoch(1)
+    b3 = jax.jit(lambda k: s.sample(k, 0))(s.epoch_key())
+    assert not np.array_equal(np.asarray(b3[s.User]), users)
+
+
+def test_tiger_with_device_roll_sampler(tiny_dataset, tmp_path):
+    import numpy as _np
+    from recboard_tpu.data.device import DeviceRollSeqSampler
+    from recboard_tpu.launcher import Coach
+    from recboard_tpu.models.zoo import REGISTRY
+    from recboard_tpu.parser import Parser
+    from recboard_tpu.sem.converter import SemIDConverter
+
+    from recboard_tpu.data.tags import ID, ITEM
+    Item = tiny_dataset.fields[ITEM, ID]
+    codes = _np.random.default_rng(0).integers(0, 8, size=(Item.count, 3))
+    conv = SemIDConverter.from_codes(codes)
+    TIGER = REGISTRY["TIGER"]
+    model = TIGER(tiny_dataset, converter=conv, maxlen=6, num_beams=4,
+                  embedding_dim=32, num_heads=2, num_encoder_layers=1,
+                  num_decoder_layers=1, ffn_dim=64, dropout_rate=0.0)
+    sampler = DeviceRollSeqSampler(tiny_dataset, maxlen=6, batch_size=16,
+                                   num_pads=0, pad_value=Item.count)
+    p = Parser()
+    p.set_defaults(description="TIGER", root="x", dataset="tiny", epochs=3,
+                   batch_size=16, lr=5e-3, eval_freq=10, log2file=False,
+                   log2console=False, log_path=str(tmp_path / "l"),
+                   checkpoint_path=str(tmp_path / "i"),
+                   monitors=["LOSS"], which4best="LOSS", seed=0)
+    cfg = p.compile([])
+    coach = Coach(dataset=tiny_dataset, trainpipe=sampler, validpipe=None,
+                  testpipe=None, model=model, cfg=cfg)
+    for epoch in range(3):
+        coach.train(epoch)
+    losses = [h["LOSS"] for h in coach.history["train"]]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
