@@ -178,11 +178,24 @@ class DeviceTimeSeqSampler(DeviceSeqSampler):
 
 class DeviceRollSeqSampler(_DeviceSamplerBase):
     """Rolling-window trainpipe on device (shuffled_roll_seqs_source +
-    seq_train_yielding_pos_(-1, -1) + lpad_, e.g. TIGER/train_t5.py,
-    GRU4Rec/STAMP/Caser trainpipes): one training row per (user, end)
-    window — epoch size = #windows, not #users. Input is the last
-    ``maxlen`` items before the target, left-padded with ``pad_value``;
-    target is the window's final item.
+    seq_train_yielding_pos_(-1[, -1]) [+ seq_train_sampling_neg_] +
+    lpad_/rpad_): one training row per (user, end) window — epoch size
+    = #windows, not #users. Target is the window's final item; input is
+    the items before it, padded with ``pad_value``.
+
+    Covers two reference protocols (SURVEY.md §2.2):
+    * ``window_includes_target=True`` (default) — the roll source is
+      built with ``maxlen=maxlen`` so the window INCLUDING the target
+      is capped: input length ≤ maxlen-1 (TIGER/train_t5.py, STAMP,
+      FMLP-Rec, BSARec, FPMC trainpipes; these lpad_).
+    * ``window_includes_target=False`` — the roll source is uncapped
+      and the input is lprune_(maxlen)'d afterwards: input length ≤
+      maxlen (GRU4Rec/NARM/GLINT-RU trainpipes; these rpad_).
+
+    ``num_negatives`` > 0 additionally draws per-row uniform negatives
+    with one rejection round against the user's FULL train history
+    (seq_train_sampling_neg_ semantics); shape (B, 1) for one negative,
+    (B, 1, K) otherwise — matching the generator pipe's collation.
 
     Measured on a v5e at the Beauty config: TIGER's jitted step is
     1.4 ms but the generator pipe feeds it at 55 ms/step over the
@@ -196,29 +209,43 @@ class DeviceRollSeqSampler(_DeviceSamplerBase):
         minlen: int = 2,
         num_pads: int = 0,
         pad_value: int = 0,
+        num_negatives: int = 0,
+        pad_side: str = "left",
+        window_includes_target: bool = True,
+        keep_at_least_itself: bool = True,
     ):
+        assert pad_side in ("left", "right"), pad_side
         self.dataset = dataset
         self.maxlen = maxlen
         self.batch_size = batch_size
         self.num_pads = num_pads
         self.pad_value = pad_value
+        self.num_negatives = num_negatives
+        self.pad_side = pad_side
+        self.window_includes_target = window_includes_target
 
         User = dataset.fields[USER, ID]
         Item = dataset.fields[ITEM, ID]
         self.User, self.Item = User, Item
         self.ISeq = Item.fork(SEQUENCE)
         self.IPos = Item.fork(POSITIVE)
+        self.INeg = Item.fork(NEGATIVE)
         self.num_items = Item.count
 
         seqs = dataset.train().user_seqs()
         Lmax = max((len(s) for s in seqs), default=1)
+        # raw+1 storage, 0 = empty — unambiguous for collision checks
         packed = np.zeros((User.count, Lmax), dtype=np.int32)
         pairs = []
+        minlen = max(minlen, 2)
         for u, s in enumerate(seqs):
             n = len(s)
-            packed[u, :n] = np.asarray(s, dtype=np.int32)
-            for e in range(max(minlen, 2), n + 1):
-                pairs.append((u, e))
+            packed[u, :n] = np.asarray(s, dtype=np.int32) + 1
+            if n >= minlen:
+                for e in range(minlen, n + 1):
+                    pairs.append((u, e))
+            elif keep_at_least_itself and n >= 1:
+                pairs.append((u, n))
         self._packed = jnp.asarray(packed)
         self._pairs = jnp.asarray(np.asarray(pairs, dtype=np.int32).reshape(-1, 2))
         self.num_windows = len(pairs)
@@ -226,23 +253,43 @@ class DeviceRollSeqSampler(_DeviceSamplerBase):
 
     def sample(self, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
         B, L = self.batch_size, self.maxlen
+        eff = L - 1 if self.window_includes_target else L
         W = self._pairs.shape[0]
         perm = jax.random.permutation(epoch_key, W)
         start = (step_idx * B) % jnp.maximum(W - B + 1, 1)
         take = jax.lax.dynamic_slice(perm, (start,), (B,))
         pairs = self._pairs[take]  # (B, 2) = (user, end)
         users, ends = pairs[:, 0], pairs[:, 1]
-        # input positions: (end-1)-maxlen .. end-2, left-padded
-        idx = ends[:, None] - 1 - L + jnp.arange(L)[None, :]
-        valid = idx >= 0
+        lo = jnp.maximum(ends - 1 - eff, 0)  # first usable input index
+        if self.pad_side == "right":
+            idx = lo[:, None] + jnp.arange(L)[None, :]
+            valid = idx < ends[:, None] - 1
+        else:
+            # items right-aligned into the last min(eff, end-1) slots
+            idx = ends[:, None] - 1 - L + jnp.arange(L)[None, :]
+            valid = (idx >= 0) & (idx >= lo[:, None])
         gathered = self._packed[users[:, None], jnp.clip(idx, 0, None)]
         iseq = jnp.where(
-            valid, gathered + self.num_pads, self.pad_value
+            valid, gathered - 1 + self.num_pads, self.pad_value
         ).astype(jnp.int32)
-        ipos = jnp.take_along_axis(
-            self._packed[users], ends[:, None] - 1, axis=1
+        ipos = (
+            jnp.take_along_axis(self._packed[users], ends[:, None] - 1, axis=1) - 1
         ).astype(jnp.int32)  # (B, 1) raw target
-        return {self.User: users, self.ISeq: iseq, self.IPos: ipos}
+        batch = {self.User: users, self.ISeq: iseq, self.IPos: ipos}
+        if self.num_negatives:
+            K = self.num_negatives
+            key = jax.random.fold_in(epoch_key, step_idx)
+            hist = self._packed[users]  # (B, Lmax) raw+1
+            negs = jax.random.randint(
+                jax.random.fold_in(key, 0), (B, K), 0, self.num_items
+            )
+            retry = jax.random.randint(
+                jax.random.fold_in(key, 1), (B, K), 0, self.num_items
+            )
+            collide = (negs[..., None] + 1 == hist[:, None, :]).any(-1)
+            negs = jnp.where(collide, retry, negs).astype(jnp.int32)
+            batch[self.INeg] = negs if K == 1 else negs[:, None, :]
+        return batch
 
 
 class DeviceGenSampler(_DeviceSamplerBase):

