@@ -37,32 +37,42 @@ def bench_jax(steps: int = 30, warmup: int = 5) -> float:
     import jax.numpy as jnp
     import optax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    if jax.default_backend() == "tpu":
+        # threefry dropout-mask generation dominates the step (5.7 vs
+        # 3.7 ms measured) and costs minutes of compile; mirror the
+        # runner's TPU default (parser.compile).
+        jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+
     from recboard_tpu.data import synthetic
-    from recboard_tpu.data.pipes import Size
     from recboard_tpu.models.zoo import SASRec
 
+    # enough coverage that (almost) all NUM_ITEMS survive reindexing —
+    # ids are then drawn from the model's true table size, so gathers
+    # stay in range (an undersized catalog silently shrinks the table)
     ds = synthetic.synthetic_next_item(
-        root="/tmp/recboard_tpu_bench",
-        name="Bench_000_LOU",
-        num_users=512,
+        root="/tmp/recboard_tpu_bench2",
+        name="Bench_001_LOU",
+        num_users=2048,
         num_items=NUM_ITEMS,
-        avg_len=12.0,
+        avg_len=50.0,
         seed=0,
         kcore4user=1,
         kcore4item=0,
     )
     model = SASRec(ds, maxlen=MAXLEN, embedding_dim=DIM, num_blocks=BLOCKS)
+    num_items = model.Item.count
 
     rng = np.random.default_rng(0)
     batch = {
         model.ISeq: jnp.asarray(
-            rng.integers(1, NUM_ITEMS + 1, size=(BATCH, MAXLEN)), jnp.int32
+            rng.integers(1, num_items + 1, size=(BATCH, MAXLEN)), jnp.int32
         ),
         model.IPos: jnp.asarray(
-            rng.integers(0, NUM_ITEMS, size=(BATCH, MAXLEN)), jnp.int32
+            rng.integers(0, num_items, size=(BATCH, MAXLEN)), jnp.int32
         ),
         model.INeg: jnp.asarray(
-            rng.integers(0, NUM_ITEMS, size=(BATCH, MAXLEN)), jnp.int32
+            rng.integers(0, num_items, size=(BATCH, MAXLEN)), jnp.int32
         ),
     }
     params = model.init(
@@ -71,25 +81,36 @@ def bench_jax(steps: int = 30, warmup: int = 5) -> float:
     tx = optax.adam(1e-3)
     opt = tx.init(params)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt, batch, rng):
+    def step(carry, i):
+        params, opt = carry
+
         def loss_fn(p):
             loss, _ = model.apply(
-                {"params": p}, batch, method="fit", rngs={"dropout": rng}
+                {"params": p},
+                batch,
+                method="fit",
+                rngs={"dropout": jax.random.fold_in(jax.random.PRNGKey(0), i)},
             )
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         up, opt = tx.update(grads, opt, params)
-        return optax.apply_updates(params, up), opt, loss
+        return (optax.apply_updates(params, up), opt), loss
 
-    key = jax.random.PRNGKey(0)
-    for i in range(warmup):
-        params, opt, loss = step(params, opt, batch, jax.random.fold_in(key, i))
+    # scan `steps` optimizer steps inside ONE device program: the axon
+    # tunnel adds ~1 ms dispatch latency per call, which at a ~1 ms
+    # step makes per-call timing measure the tunnel, not the chip
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run_chunk(params, opt, i0):
+        (params, opt), losses = jax.lax.scan(
+            step, (params, opt), i0 + jnp.arange(steps)
+        )
+        return params, opt, losses[-1]
+
+    params, opt, loss = run_chunk(params, opt, jnp.int32(0))  # compile+warm
     loss.block_until_ready()
     t0 = time.perf_counter()
-    for i in range(steps):
-        params, opt, loss = step(params, opt, batch, jax.random.fold_in(key, 100 + i))
+    params, opt, loss = run_chunk(params, opt, jnp.int32(steps))
     loss.block_until_ready()
     dt = time.perf_counter() - t0
     return BATCH * steps / dt

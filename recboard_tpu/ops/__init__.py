@@ -1,5 +1,6 @@
 """Compute ops: jnp reference implementations + Pallas TPU kernels."""
 
 from . import attention  # noqa: F401
+from . import dropout  # noqa: F401
 from . import losses  # noqa: F401
 from . import spmm  # noqa: F401

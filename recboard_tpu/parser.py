@@ -140,10 +140,23 @@ class Parser:
                 if key not in cli_set:
                     cfg[key] = value
 
-        if cfg.get("prng_impl"):
+        impl = cfg.get("prng_impl")
+        if impl is None:
+            # threefry is the wrong default on TPU: dropout/negative-mask
+            # bit generation dominates small-model steps (measured on a
+            # v5e, SASRec B=1024: 5.7 -> 3.7 ms/step) and its unrolled
+            # lowering costs minutes of XLA compile time per jit. XLA's
+            # hardware-backed generator is 1.55x faster end-to-end and
+            # compiles in seconds; CPU (tests) keeps threefry.
             import jax
 
-            jax.config.update("jax_default_prng_impl", cfg["prng_impl"])
+            if jax.default_backend() == "tpu":
+                impl = "unsafe_rbg"
+        if impl:
+            import jax
+
+            jax.config.update("jax_default_prng_impl", impl)
+            cfg["prng_impl"] = impl
         cfg["seed"] = utils.set_seed(int(cfg.get("seed", 1)))
         if cfg.get("id") is None:
             cfg["id"] = time.strftime(TIME_FMT)

@@ -137,3 +137,42 @@ def test_hstu_shared_negs_learns(tiny_dataset):
         coach.train(epoch)
     losses = [h["LOSS"] for h in coach.history["train"]]
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_dropout_cpu_fallback_semantics():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from recboard_tpu.ops.dropout import dropout
+
+    x = jnp.ones((400, 64))
+    key = jax.random.PRNGKey(0)
+    # deterministic / rate 0 are identity
+    np.testing.assert_array_equal(dropout(x, 0.2, key, deterministic=True), x)
+    np.testing.assert_array_equal(dropout(x, 0.0, key), x)
+    y = np.asarray(dropout(x, 0.25, key))
+    zero_frac = (y == 0).mean()
+    assert abs(zero_frac - 0.25) < 0.02
+    np.testing.assert_allclose(np.unique(y[y != 0]), [1.0 / 0.75], rtol=1e-6)
+    # gradient flows through the kept positions only, scaled
+    g = jax.grad(lambda x: dropout(x, 0.25, key).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), y, rtol=1e-6)
+
+
+def test_dropout_mask_pallas_tpu():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        import pytest
+
+        pytest.skip("pallas hardware-PRNG kernel needs a TPU")
+    import numpy as np
+
+    from recboard_tpu.ops.dropout import dropout_mask
+
+    m = np.asarray(dropout_mask(jax.random.PRNGKey(0), (1024, 50, 64), 0.2))
+    assert abs((m == 0).mean() - 0.2) < 0.01
+    np.testing.assert_allclose(np.unique(m[m != 0]), [1.25], rtol=1e-6)
+    m2 = np.asarray(dropout_mask(jax.random.PRNGKey(0), (1024, 50, 64), 0.2))
+    np.testing.assert_array_equal(m, m2)
