@@ -281,10 +281,30 @@ class Coach:
         n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
         utils.infoLogger(f"[Coach] >>> model initialized: {n_params:,} params")
 
+    def cast_compute(self, params):
+        """Mixed precision without touching model code: float params are
+        cast to cfg.compute_dtype inside the differentiated function, so
+        every matmul/activation runs in (say) bfloat16 while gradients
+        flow through the cast back into float32 master params and
+        optimizer state. Models keep f32 where it matters via
+        ``preferred_element_type`` on their scoring einsums. Default
+        float32 = reference parity (the reference trains f32 end to
+        end); flip with --compute-dtype bfloat16."""
+        dt = str(self.cfg.get("compute_dtype", "float32") or "float32")
+        if dt in ("float32", "f32"):
+            return params
+        target = jnp.dtype(dt)
+        return jax.tree.map(
+            lambda p: p.astype(target)
+            if hasattr(p, "dtype") and jnp.issubdtype(p.dtype, jnp.floating)
+            else p,
+            params,
+        )
+
     def loss_of(self, params, batch, rng):
         """Override point: scalar loss + log dict for one batch."""
         loss, logs = self.model.apply(
-            {"params": params},
+            {"params": self.cast_compute(params)},
             batch,
             method="fit",
             rngs={"dropout": rng, "sampling": jax.random.fold_in(rng, 1)},
@@ -503,7 +523,10 @@ class Coach:
                 )
                 batch = {**batch, **static_marks}
                 scores = model.apply(
-                    {"params": params}, batch, buffers, method=method
+                    {"params": self.cast_compute(params)},
+                    batch,
+                    buffers,
+                    method=method,
                 )
                 if ranking == "full" and self.remove_seen and seen_ids is not None:
                     B = scores.shape[0]
@@ -528,7 +551,8 @@ class Coach:
             return
         pipe.set_seed(int(self.cfg.seed))
         buffers = self.model.apply(
-            {"params": self.state.params}, method="reset_ranking_buffers"
+            {"params": self.cast_compute(self.state.params)},
+            method="reset_ranking_buffers",
         )
         pool = [
             metrics_lib.fmt_metric(b, k)
@@ -596,7 +620,10 @@ class Coach:
         if key not in self._jit_cache:
             def step(params, batch):
                 return self.model.apply(
-                    {"params": params}, batch, None, method="recommend_from_pool"
+                    {"params": self.cast_compute(params)},
+                    batch,
+                    None,
+                    method="recommend_from_pool",
                 )
 
             self._jit_cache[key] = jax.jit(step)

@@ -252,3 +252,38 @@ def test_gru4rec_with_device_roll_sampler(tiny_dataset, tmp_path):
         coach.train(epoch)
     losses = [h["LOSS"] for h in coach.history["train"]]
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_coach_bfloat16_compute(tiny_dataset, tmp_path):
+    """--compute-dtype bfloat16: params stay f32 masters, the step runs
+    in bf16 (Coach.cast_compute), training converges, eval works."""
+    from recboard_tpu.data.device import DeviceSeqSampler
+    from recboard_tpu.launcher import Coach
+    from recboard_tpu.models.zoo import SASRec
+    from recboard_tpu.parser import Parser
+
+    model = SASRec(tiny_dataset, maxlen=8, embedding_dim=16, num_blocks=1,
+                   dropout_rate=0.0)
+    sampler = DeviceSeqSampler(tiny_dataset, maxlen=8, batch_size=16)
+    p = Parser()
+    p.set_defaults(
+        description="SASRec", root="x", dataset="tiny", epochs=4, batch_size=16,
+        lr=1e-2, eval_freq=4, log2file=False, log2console=False,
+        log_path=str(tmp_path / "l"), checkpoint_path=str(tmp_path / "i"),
+        monitors=["LOSS", "NDCG@10"], which4best="NDCG@10", seed=0,
+        compute_dtype="bfloat16",
+    )
+    cfg = p.compile([])
+    coach = Coach(dataset=tiny_dataset, trainpipe=sampler,
+                  validpipe=model.sure_validpipe(8, "full", batch_size=32),
+                  testpipe=None, model=model, cfg=cfg)
+    for epoch in range(4):
+        coach.train(epoch)
+    # master params remain float32
+    leaves = jax.tree.leaves(coach.state.params)
+    assert all(leaf.dtype == jnp.float32 for leaf in leaves)
+    losses = [h["LOSS"] for h in coach.history["train"]]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    coach.evaluate(3, mode="valid")
+    summary = coach._flush("valid", 3)
+    assert np.isfinite(summary["NDCG@10"])
