@@ -29,7 +29,13 @@ import numpy as np
 from .fields import Field
 from .tags import ID, ITEM, NEGATIVE, POSITIVE, SEQUENCE, USER
 
-__all__ = ["DeviceSeqSampler", "DeviceGenSampler", "DeviceRollSeqSampler"]
+__all__ = [
+    "DeviceSeqSampler",
+    "DeviceGenSampler",
+    "DeviceRollSeqSampler",
+    "DeviceFullSeqSampler",
+    "DevicePairSampler",
+]
 
 
 class _DeviceSamplerBase:
@@ -98,8 +104,8 @@ class DeviceSeqSampler(_DeviceSamplerBase):
         B, L = self.batch_size, self.maxlen
         n = self._valid_users.shape[0]
         perm = jax.random.permutation(epoch_key, n)
-        start = (step_idx * B) % jnp.maximum(n - B + 1, 1)
-        rows = jax.lax.dynamic_slice(perm, (start,), (B,))
+        # modular gather instead of dynamic_slice: works when B > n
+        rows = perm[(step_idx * B + jnp.arange(B)) % n]
         users = self._valid_users[rows]
         window = self._packed[users]  # (B, L+1) raw+1, 0 pad
         inputs_raw = window[:, :-1]
@@ -155,8 +161,8 @@ class DeviceTimeSeqSampler(DeviceSeqSampler):
         B, L = self.batch_size, self.maxlen
         n = self._valid_users.shape[0]
         perm = jax.random.permutation(epoch_key, n)
-        start = (step_idx * B) % jnp.maximum(n - B + 1, 1)
-        rows = jax.lax.dynamic_slice(perm, (start,), (B,))
+        # modular gather instead of dynamic_slice: works when B > n
+        rows = perm[(step_idx * B + jnp.arange(B)) % n]
         users = self._valid_users[rows]
         window = self._packed[users]
         t_window = self._packed_t[users]
@@ -256,8 +262,7 @@ class DeviceRollSeqSampler(_DeviceSamplerBase):
         eff = L - 1 if self.window_includes_target else L
         W = self._pairs.shape[0]
         perm = jax.random.permutation(epoch_key, W)
-        start = (step_idx * B) % jnp.maximum(W - B + 1, 1)
-        take = jax.lax.dynamic_slice(perm, (start,), (B,))
+        take = perm[(step_idx * B + jnp.arange(B)) % W]
         pairs = self._pairs[take]  # (B, 2) = (user, end)
         users, ends = pairs[:, 0], pairs[:, 1]
         lo = jnp.maximum(ends - 1 - eff, 0)  # first usable input index
@@ -289,6 +294,165 @@ class DeviceRollSeqSampler(_DeviceSamplerBase):
             collide = (negs[..., None] + 1 == hist[:, None, :]).any(-1)
             negs = jnp.where(collide, retry, negs).astype(jnp.int32)
             batch[self.INeg] = negs if K == 1 else negs[:, None, :]
+        return batch
+
+
+class DeviceFullSeqSampler(_DeviceSamplerBase):
+    """Whole-sequence trainpipe on device (shuffled_seqs_source +
+    add_ + lpad_): one row per user per epoch, input = the user's last
+    ``maxlen`` train items (+num_pads offset, left-padded with 0).
+
+    * BERT4Rec (BERT4Rec/main.py sure_trainpipe): no targets here —
+      the model draws its in-batch random masking from the "sampling"
+      rng stream inside fit.
+    * RUM (RUM/main.py trainpipe): ``sample_pos=True`` additionally
+      draws one uniform positive from the user's history
+      (gen_train_sampling_pos_) and ``num_negatives`` rejected-vs-
+      history negatives (gen_train_sampling_neg_)."""
+
+    def __init__(
+        self,
+        dataset,
+        maxlen: int,
+        batch_size: int,
+        num_pads: int = 1,
+        sample_pos: bool = False,
+        num_negatives: int = 0,
+    ):
+        self.dataset = dataset
+        self.maxlen = maxlen
+        self.batch_size = batch_size
+        self.num_pads = num_pads
+        self.sample_pos = sample_pos
+        self.num_negatives = num_negatives
+
+        User = dataset.fields[USER, ID]
+        Item = dataset.fields[ITEM, ID]
+        self.User, self.Item = User, Item
+        self.ISeq = Item.fork(SEQUENCE)
+        self.IPos = Item.fork(POSITIVE)
+        self.INeg = Item.fork(NEGATIVE)
+        self.num_items = Item.count
+
+        seqs = dataset.train().user_seqs()
+        L = maxlen
+        packed = np.zeros((User.count, L), dtype=np.int32)  # raw+1, 0 pad
+        counts = np.zeros(User.count, dtype=np.int32)
+        for u, s in enumerate(seqs):
+            tail = list(s)[-L:]
+            if tail:
+                packed[u, L - len(tail):] = np.asarray(tail) + 1
+            counts[u] = len(tail)
+        valid_users = np.flatnonzero(counts >= 1)
+        self._packed = jnp.asarray(packed)
+        self._counts = jnp.asarray(np.maximum(counts, 1))
+        self._valid_users = jnp.asarray(valid_users, jnp.int32)
+        self.steps_per_epoch = max(1, len(valid_users) // batch_size)
+
+    def sample(self, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
+        B, L = self.batch_size, self.maxlen
+        n = self._valid_users.shape[0]
+        perm = jax.random.permutation(epoch_key, n)
+        # modular gather instead of dynamic_slice: works when B > n
+        rows = perm[(step_idx * B + jnp.arange(B)) % n]
+        users = self._valid_users[rows]
+        window = self._packed[users]  # (B, L) raw+1
+        iseq = jnp.where(window != 0, window - 1 + self.num_pads, 0).astype(
+            jnp.int32
+        )
+        batch = {self.User: users, self.ISeq: iseq}
+        key = jax.random.fold_in(epoch_key, step_idx)
+        if self.sample_pos:
+            pick = jax.random.randint(
+                jax.random.fold_in(key, 0), (B,), 0, 2**30
+            ) % self._counts[users]
+            # histories are right-aligned: valid slots start at L-count
+            slot = L - self._counts[users] + pick
+            pos = jnp.take_along_axis(window, slot[:, None], axis=1) - 1
+            batch[self.IPos] = pos.astype(jnp.int32)  # (B, 1) raw ids
+        if self.num_negatives:
+            K = self.num_negatives
+            negs = jax.random.randint(
+                jax.random.fold_in(key, 1), (B, K), 0, self.num_items
+            )
+            retry = jax.random.randint(
+                jax.random.fold_in(key, 2), (B, K), 0, self.num_items
+            )
+            collide = (negs[..., None] + 1 == window[:, None, :]).any(-1)
+            batch[self.INeg] = jnp.where(collide, retry, negs).astype(jnp.int32)
+        return batch
+
+
+class DevicePairSampler(_DeviceSamplerBase):
+    """Interaction-pairs trainpipe on device (shuffled_pairs_source
+    [+ gen_train_sampling_neg_], SimpleX/UltraGCN trainpipes): one row
+    per (user, item) train interaction — users weighted by activity,
+    unlike DeviceGenSampler's uniform users. Emits User (B,), the pair
+    item under the raw Item field (B, 1) — the pairs-source protocol
+    consumed as ``data[self.Item]`` by SimpleX/UltraGCN fit — and,
+    with ``num_negatives``, INeg (B, K) negatives drawn
+    uniformly, optionally rejected against the user's packed history
+    (``exclude_seen`` = the models' `unseen_only`)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        num_negatives: int = 0,
+        exclude_seen: bool = True,
+        max_history: int = 128,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_negatives = num_negatives
+        self.exclude_seen = exclude_seen
+
+        User = dataset.fields[USER, ID]
+        Item = dataset.fields[ITEM, ID]
+        self.User, self.Item = User, Item
+        self.IPos = Item.fork(POSITIVE)
+        self.INeg = Item.fork(NEGATIVE)
+        self.num_items = Item.count
+
+        seqs = dataset.train().user_seqs()
+        pair_u, pair_i = [], []
+        H = min(max_history, max((len(s) for s in seqs), default=1))
+        packed = np.zeros((User.count, H), dtype=np.int32)
+        for u, s in enumerate(seqs):
+            pair_u.extend([u] * len(s))
+            pair_i.extend(s)
+            tail = list(s)[-H:]
+            packed[u, : len(tail)] = np.asarray(tail) + 1
+        self._pair_u = jnp.asarray(np.asarray(pair_u, dtype=np.int32))
+        self._pair_i = jnp.asarray(np.asarray(pair_i, dtype=np.int32))
+        self._packed = jnp.asarray(packed)
+        self.num_pairs = len(pair_u)
+        self.steps_per_epoch = max(1, self.num_pairs // batch_size)
+
+    def sample(self, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
+        B, K = self.batch_size, self.num_negatives
+        E = self._pair_u.shape[0]
+        perm = jax.random.permutation(epoch_key, E)
+        take = perm[(step_idx * B + jnp.arange(B)) % E]
+        users = self._pair_u[take]
+        pos = self._pair_i[take][:, None]  # (B, 1)
+        batch = {
+            self.User: users,
+            self.Item: pos.astype(jnp.int32),
+        }
+        if K:
+            key = jax.random.fold_in(epoch_key, step_idx)
+            negs = jax.random.randint(
+                jax.random.fold_in(key, 0), (B, K), 0, self.num_items
+            )
+            if self.exclude_seen:
+                hist = self._packed[users]
+                retry = jax.random.randint(
+                    jax.random.fold_in(key, 1), (B, K), 0, self.num_items
+                )
+                collide = (negs[..., None] + 1 == hist[:, None, :]).any(-1)
+                negs = jnp.where(collide, retry, negs)
+            batch[self.INeg] = negs.astype(jnp.int32)
         return batch
 
 

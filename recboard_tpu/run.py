@@ -159,7 +159,9 @@ def build_pipes(model, cfg):
 
     if cfg.get("on_device_sampling"):
         from .data.device import (
+            DeviceFullSeqSampler,
             DeviceGenSampler,
+            DevicePairSampler,
             DeviceRollSeqSampler,
             DeviceSeqSampler,
         )
@@ -197,6 +199,35 @@ def build_pipes(model, cfg):
                 num_negatives=1,
                 pad_side="right" if rpad else "left",
                 window_includes_target=not rpad,
+            )
+        elif getattr(model, "ZOO_NAME", None) == "BERT4Rec":
+            # masking is drawn in-model from the "sampling" stream
+            trainpipe = DeviceFullSeqSampler(
+                model.dataset,
+                maxlen=int(cfg.maxlen),
+                batch_size=int(cfg.batch_size),
+                num_pads=model.NUM_PADS,
+            )
+        elif getattr(model, "ZOO_NAME", None) == "RUM":
+            trainpipe = DeviceFullSeqSampler(
+                model.dataset,
+                maxlen=int(cfg.maxlen),
+                batch_size=int(cfg.batch_size),
+                num_pads=model.NUM_PADS,
+                sample_pos=True,
+                num_negatives=1,
+            )
+        elif getattr(model, "ZOO_NAME", None) in ("SimpleX", "UltraGCN"):
+            # pairs-source protocol: users weighted by activity; the
+            # models sample their own negatives when unseen_only=False
+            trainpipe = DevicePairSampler(
+                model.dataset,
+                batch_size=int(cfg.batch_size),
+                num_negatives=(
+                    int(getattr(model, "num_negs", 1))
+                    if getattr(model, "unseen_only", True)
+                    else 0
+                ),
             )
         elif isinstance(model, GenRecArch):
             trainpipe = DeviceGenSampler(

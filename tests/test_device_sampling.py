@@ -287,3 +287,91 @@ def test_coach_bfloat16_compute(tiny_dataset, tmp_path):
     coach.evaluate(3, mode="valid")
     summary = coach._flush("valid", 3)
     assert np.isfinite(summary["NDCG@10"])
+
+
+def test_device_full_seq_sampler_bert4rec(tiny_dataset, tmp_path):
+    from recboard_tpu.data.device import DeviceFullSeqSampler
+    from recboard_tpu.launcher import Coach
+    from recboard_tpu.models.zoo import REGISTRY
+    from recboard_tpu.parser import Parser
+
+    BERT4Rec = REGISTRY["BERT4Rec"]
+    model = BERT4Rec(tiny_dataset, maxlen=8, embedding_dim=16, num_blocks=1,
+                     dropout_rate=0.0)
+    s = DeviceFullSeqSampler(tiny_dataset, maxlen=8, batch_size=16,
+                             num_pads=model.NUM_PADS).set_seed(0)
+    s.set_epoch(0)
+    batch = jax.jit(lambda k: s.sample(k, 0))(s.epoch_key())
+    seqs = tiny_dataset.train().user_seqs()
+    iseq = np.asarray(batch[s.ISeq])
+    users = np.asarray(batch[s.User])
+    for b in range(16):
+        tail = list(seqs[users[b]])[-8:]
+        inp = [x for x in iseq[b] if x != 0]
+        assert inp == [x + model.NUM_PADS for x in tail]
+    p = Parser()
+    p.set_defaults(description="BERT4Rec", root="x", dataset="tiny", epochs=4,
+                   batch_size=16, lr=5e-3, eval_freq=10, log2file=False,
+                   log2console=False, log_path=str(tmp_path / "l"),
+                   checkpoint_path=str(tmp_path / "i"),
+                   monitors=["LOSS"], which4best="LOSS", seed=0)
+    cfg = p.compile([])
+    coach = Coach(dataset=tiny_dataset, trainpipe=s, validpipe=None,
+                  testpipe=None, model=model, cfg=cfg)
+    for epoch in range(4):
+        coach.train(epoch)
+    losses = [h["LOSS"] for h in coach.history["train"]]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_device_pair_sampler_simplex(tiny_dataset, tmp_path):
+    from recboard_tpu.data.device import DevicePairSampler
+    from recboard_tpu.launcher import Coach
+    from recboard_tpu.models.zoo import REGISTRY
+    from recboard_tpu.parser import Parser
+
+    SimpleX = REGISTRY["SimpleX"]
+    model = SimpleX(tiny_dataset, embedding_dim=16, num_negs=8,
+                    dropout_rate=0.0, adj=SimpleX.build_adj(tiny_dataset))
+    s = DevicePairSampler(tiny_dataset, batch_size=32,
+                          num_negatives=8).set_seed(0)
+    s.set_epoch(0)
+    seqs = tiny_dataset.train().user_seqs()
+    assert s.num_pairs == sum(len(q) for q in seqs)
+    batch = jax.jit(lambda k: s.sample(k, 0))(s.epoch_key())
+    users = np.asarray(batch[s.User])
+    pos = np.asarray(batch[s.Item])
+    negs = np.asarray(batch[s.INeg])
+    assert negs.shape == (32, 8)
+    for b in range(32):
+        assert pos[b, 0] in seqs[users[b]]
+    p = Parser()
+    p.set_defaults(description="SimpleX", root="x", dataset="tiny", epochs=4,
+                   batch_size=32, lr=1e-2, eval_freq=10, log2file=False,
+                   log2console=False, log_path=str(tmp_path / "l"),
+                   checkpoint_path=str(tmp_path / "i"),
+                   monitors=["LOSS"], which4best="LOSS", seed=0)
+    cfg = p.compile([])
+    coach = Coach(dataset=tiny_dataset, trainpipe=s, validpipe=None,
+                  testpipe=None, model=model, cfg=cfg)
+    for epoch in range(4):
+        coach.train(epoch)
+    losses = [h["LOSS"] for h in coach.history["train"]]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_device_full_seq_sampler_rum_pos_negs(tiny_dataset):
+    from recboard_tpu.data.device import DeviceFullSeqSampler
+
+    s = DeviceFullSeqSampler(tiny_dataset, maxlen=8, batch_size=16, num_pads=1,
+                             sample_pos=True, num_negatives=1).set_seed(1)
+    s.set_epoch(0)
+    batch = jax.jit(lambda k: s.sample(k, 0))(s.epoch_key())
+    seqs = tiny_dataset.train().user_seqs()
+    users = np.asarray(batch[s.User])
+    pos = np.asarray(batch[s.IPos])
+    negs = np.asarray(batch[s.INeg])
+    assert pos.shape == (16, 1) and negs.shape == (16, 1)
+    for b in range(16):
+        # positive comes from the (windowed) history
+        assert pos[b, 0] in list(seqs[users[b]])[-8:]

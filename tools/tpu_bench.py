@@ -1,0 +1,232 @@
+"""TPU step-throughput harness for the hot zoo families.
+
+Measures the full jitted training step (fwd + bwd + adam) of several
+models at the Beauty-scale config (12.1k-item catalog, maxlen 50,
+B=1024, D=64) on whatever backend is active, timing `lax.scan` chunks
+so the axon tunnel's ~1 ms/dispatch noise cannot contaminate the
+numbers (see CLAUDE.md perf rules — per-dispatch timing is 2-4x noisy).
+
+    python tools/tpu_bench.py [--models sasrec,hstu,...] [--steps 60]
+
+Prints one JSON line per model:
+    {"model": ..., "ms_per_step": ..., "examples_per_s": ..., "loss": ...}
+
+This is the regression harness for the round-over-round perf notes;
+bench.py (the driver's single headline number) shares its SASRec
+config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH = 1024
+MAXLEN = 50
+NUM_ITEMS = 12_101
+
+
+def _dataset():
+    from recboard_tpu.data import synthetic
+
+    return synthetic.synthetic_next_item(
+        root="/tmp/recboard_tpu_bench2",
+        name="Bench_001_LOU",
+        num_users=2048,
+        num_items=NUM_ITEMS,
+        avg_len=50.0,
+        seed=0,
+        kcore4user=1,
+        kcore4item=0,
+    )
+
+
+def _measure(model, batch, steps, rngs_extra=()):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    params = model.init(
+        {
+            "params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            **{name: jax.random.PRNGKey(2) for name in rngs_extra},
+        },
+        batch,
+    )["params"]
+    tx = optax.adam(1e-3)
+    base = jax.random.PRNGKey(7)
+
+    def step(carry, i):
+        params, opt = carry
+
+        def loss_fn(p):
+            rngs = {"dropout": jax.random.fold_in(base, i)}
+            for name in rngs_extra:
+                rngs[name] = jax.random.fold_in(base, i + 1_000_000)
+            loss, _ = model.apply({"params": p}, batch, method="fit", rngs=rngs)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        up, opt = tx.update(grads, opt, params)
+        return (optax.apply_updates(params, up), opt), loss
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run_chunk(params, opt, i0):
+        (params, opt), losses = jax.lax.scan(
+            step, (params, opt), i0 + jnp.arange(steps)
+        )
+        return params, opt, losses[-1]
+
+    p, o = params, tx.init(params)
+    p, o, loss = run_chunk(p, o, jnp.int32(0))
+    loss.block_until_ready()
+    best = 1e9
+    for k in range(1, 4):
+        t0 = time.perf_counter()
+        p, o, loss = run_chunk(p, o, jnp.int32(k * steps))
+        loss.block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return best, float(loss)
+
+
+def bench_sasrec(ds, steps):
+    import jax.numpy as jnp
+
+    from recboard_tpu.models.zoo import SASRec
+
+    model = SASRec(ds, maxlen=MAXLEN, embedding_dim=64, num_blocks=2)
+    N = model.Item.count
+    rng = np.random.default_rng(0)
+    batch = {
+        model.ISeq: jnp.asarray(rng.integers(1, N + 1, (BATCH, MAXLEN)), jnp.int32),
+        model.IPos: jnp.asarray(rng.integers(0, N, (BATCH, MAXLEN)), jnp.int32),
+        model.INeg: jnp.asarray(rng.integers(0, N, (BATCH, MAXLEN)), jnp.int32),
+    }
+    return _measure(model, batch, steps)
+
+
+def bench_gru4rec(ds, steps):
+    import jax.numpy as jnp
+
+    from recboard_tpu.models.zoo import REGISTRY
+
+    model = REGISTRY["GRU4Rec"](ds, maxlen=MAXLEN, embedding_dim=64)
+    N = model.Item.count
+    rng = np.random.default_rng(0)
+    batch = {
+        model.ISeq: jnp.asarray(rng.integers(1, N + 1, (BATCH, MAXLEN)), jnp.int32),
+        model.IPos: jnp.asarray(rng.integers(0, N, (BATCH, 1)), jnp.int32),
+        model.INeg: jnp.asarray(rng.integers(0, N, (BATCH, 1)), jnp.int32),
+    }
+    return _measure(model, batch, steps)
+
+
+def bench_hstu(ds, steps, shared_negs=True):
+    import jax.numpy as jnp
+
+    from recboard_tpu.models.zoo import HSTU
+
+    model = HSTU(ds, maxlen=MAXLEN, embedding_dim=64, shared_negs=shared_negs)
+    N = model.Item.count
+    rng = np.random.default_rng(0)
+    times = np.sort(rng.integers(0, 3_000_000, (BATCH, MAXLEN)), axis=1)
+    batch = {
+        model.ISeq: jnp.asarray(rng.integers(1, N + 1, (BATCH, MAXLEN)), jnp.int32),
+        model.IPos: jnp.asarray(rng.integers(0, N, (BATCH, MAXLEN)), jnp.int32),
+        model.Time: jnp.asarray(times, jnp.int32),
+    }
+    return _measure(model, batch, steps, rngs_extra=("sampling",))
+
+
+def bench_lightgcn(ds, steps):
+    import jax.numpy as jnp
+
+    from recboard_tpu.models.zoo import REGISTRY
+
+    adj = ds.train().to_normalized_adj(normalization="sym")
+    model = REGISTRY["LightGCN"](ds, embedding_dim=64, adj=adj)
+    NU, NI = model.User.count, model.Item.count
+    rng = np.random.default_rng(0)
+    batch = {
+        model.User: jnp.asarray(rng.integers(0, NU, (BATCH,)), jnp.int32),
+        model.IPos: jnp.asarray(rng.integers(0, NI, (BATCH, 1)), jnp.int32),
+        model.INeg: jnp.asarray(rng.integers(0, NI, (BATCH, 1)), jnp.int32),
+    }
+    return _measure(model, batch, steps)
+
+
+def bench_tiger(ds, steps):
+    import jax.numpy as jnp
+
+    from recboard_tpu.models.zoo import REGISTRY
+    from recboard_tpu.sem.converter import SemIDConverter
+
+    N = ds.fields_item_count() if hasattr(ds, "fields_item_count") else None
+    from recboard_tpu.data.tags import ID, ITEM
+
+    Item = ds.fields[ITEM, ID]
+    codes = np.random.default_rng(0).integers(0, 256, size=(Item.count, 3))
+    conv = SemIDConverter.from_codes(codes)
+    model = REGISTRY["TIGER"](ds, converter=conv, maxlen=MAXLEN, num_beams=4)
+    rng = np.random.default_rng(0)
+    batch = {
+        model.ISeq: jnp.asarray(
+            rng.integers(0, Item.count, (BATCH, MAXLEN)), jnp.int32
+        ),
+        model.IPos: jnp.asarray(rng.integers(0, Item.count, (BATCH, 1)), jnp.int32),
+    }
+    return _measure(model, batch, steps)
+
+
+BENCHES = {
+    "sasrec": bench_sasrec,
+    "gru4rec": bench_gru4rec,
+    "hstu": bench_hstu,
+    "lightgcn": bench_lightgcn,
+    "tiger": bench_tiger,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="sasrec,gru4rec,hstu,lightgcn,tiger")
+    ap.add_argument("--steps", type=int, default=60)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+
+    ds = _dataset()
+    for name in args.models.split(","):
+        name = name.strip()
+        try:
+            ms, loss = BENCHES[name](ds, args.steps)
+            print(
+                json.dumps(
+                    {
+                        "model": name,
+                        "ms_per_step": round(ms * 1e3, 3),
+                        "examples_per_s": round(BATCH / ms, 1),
+                        "loss": round(loss, 4),
+                    }
+                ),
+                flush=True,
+            )
+        except Exception as exc:  # keep going; report the failure
+            print(json.dumps({"model": name, "error": repr(exc)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
