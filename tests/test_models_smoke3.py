@@ -80,3 +80,31 @@ def test_rel_bias_bucketization():
     m, n = 2, 1
     expected = pos_w[n - m + 3] + ts_w[bucket[0, m, n]]
     np.testing.assert_allclose(float(bias[0, m, n]), float(expected), rtol=1e-6)
+
+
+def test_stacked_rel_bias_matches_per_block():
+    import jax
+
+    from recboard_tpu.models.zoo.hstu import (
+        RelativeBucketedTimeAndPositionBias,
+        StackedRelBias,
+    )
+
+    L, K, NB = 6, 12, 3
+    stacked = StackedRelBias(maxlen=L, num_buckets=K, num_blocks=NB)
+    ts = jnp.asarray([[0, 3, 9, 40, 300, 301], [5, 6, 7, 8, 9, 100]])
+    params = stacked.init(jax.random.PRNGKey(0), ts)
+    all_bias = stacked.apply(params, ts)  # (B, L, L, NB)
+    assert all_bias.shape == (2, L, L, NB)
+    single = RelativeBucketedTimeAndPositionBias(maxlen=L, num_buckets=K)
+    for b in range(NB):
+        sub = {
+            "params": {
+                "timestamp_weights": params["params"]["timestamp_weights"][b],
+                "position_weights": params["params"]["position_weights"][b],
+            }
+        }
+        ref = single.apply(sub, ts)  # (B, L, L)
+        np.testing.assert_allclose(
+            np.asarray(all_bias[..., b]), np.asarray(ref), rtol=1e-5, atol=1e-6
+        )

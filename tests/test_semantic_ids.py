@@ -180,3 +180,41 @@ def test_rqvae_trains_and_emits_vocab(tiny_dataset, tmp_path):
 
     conv = SemIDConverter.load(vocab_file)
     assert len(conv.sid_vocab) == I
+
+
+def test_textual_feature_encoder_hash_backend(tmp_path):
+    import os
+
+    import numpy as np
+
+    from recboard_tpu.sem.encode import TextualFeatureEncoder, clean_text
+    from recboard_tpu.utils import import_pickle
+
+    # reference cleaning semantics (TIGER/encode_textual_features.py)
+    assert clean_text('<b>Hello</b> "World"\n&amp; more') == "Hello World & more"
+    assert clean_text(["a", "b"]) == "a b"
+    assert clean_text(None) == ""
+
+    dsdir = tmp_path / "Processed" / "T_000_LOU"
+    os.makedirs(dsdir)
+    with open(dsdir / "item.txt", "w") as fh:
+        fh.write("ITEM\tTITLE\tCATEGORIES\tBRAND\n")
+        fh.write("0\tRed lipstick\tBeauty Makeup\tAcme\n")
+        fh.write("1\tRed lip stick\tBeauty Makeup\tAcme\n")
+        fh.write("2\tTractor engine oil\tAutomotive\tZorg\n")
+    out = TextualFeatureEncoder(
+        str(tmp_path), "T_000_LOU", backend="hash", feature_dim=64
+    ).run()
+    feats = import_pickle(out)
+    assert feats.shape == (3, 64)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, rtol=1e-5)
+    # lexical similarity: near-duplicate items more similar than unrelated
+    sim01 = float(feats[0] @ feats[1])
+    sim02 = float(feats[0] @ feats[2])
+    assert sim01 > sim02
+    # determinism
+    out2 = TextualFeatureEncoder(
+        str(tmp_path), "T_000_LOU", backend="hash", feature_dim=64,
+        output_file="again.pkl",
+    ).run()
+    np.testing.assert_array_equal(feats, import_pickle(out2))

@@ -135,7 +135,20 @@ def bench_hstu(ds, steps, shared_negs=True):
 
     from recboard_tpu.models.zoo import HSTU
 
-    model = HSTU(ds, maxlen=MAXLEN, embedding_dim=64, shared_negs=shared_negs)
+    # the reference's Beauty quality config (HSTU/configs/
+    # Amazon2014Beauty_550_LOU.yaml), not the 16-block code default
+    model = HSTU(
+        ds,
+        maxlen=MAXLEN,
+        embedding_dim=64,
+        num_heads=2,
+        num_blocks=4,
+        linear_hidden_dim=4,
+        attention_dim=4,
+        num_buckets=128,
+        temperature=0.1,
+        shared_negs=shared_negs,
+    )
     N = model.Item.count
     rng = np.random.default_rng(0)
     times = np.sort(rng.integers(0, 3_000_000, (BATCH, MAXLEN)), axis=1)
