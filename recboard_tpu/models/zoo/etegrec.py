@@ -83,6 +83,7 @@ class ETEGRec(SeqRecArch):
     ffn_dim: int = 512  # T5 d_ff (ETEGRec/train_etegrec.py:42)
     head_dim: int = 64  # T5 d_kv (ETEGRec/train_etegrec.py:41)
     dropout_rate: float = 0.1
+    remat: bool = False  # rematerialize seq2seq blocks (large-batch HBM)
     num_beams: int = 10
     temperature: float = 0.07
     kl_weight: float = 1e-3
@@ -138,6 +139,7 @@ class ETEGRec(SeqRecArch):
             head_dim=self.head_dim,
             dropout=self.dropout_rate,
             pad_id=0,
+            remat=self.remat,
         )
         self.seq_project = nn.Dense(self.codebook_dim, kernel_init=xavier_normal)
         self.dec_project = nn.Dense(feats.shape[1], kernel_init=xavier_normal)

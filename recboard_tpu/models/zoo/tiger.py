@@ -237,6 +237,7 @@ class TIGER(SeqRecArch):
     ffn_dim: int = 256  # T5 d_ff = 4*d_kv (TIGER/train_t5.py:22)
     head_dim: int = 64  # T5 d_kv (TIGER/train_t5.py:21)
     dropout_rate: float = 0.1
+    remat: bool = False  # rematerialize seq2seq blocks (large-batch HBM)
 
     def setup(self):
         conv = self.converter
@@ -257,6 +258,7 @@ class TIGER(SeqRecArch):
             head_dim=self.head_dim,
             dropout=self.dropout_rate,
             pad_id=conv.pad_id,
+            remat=self.remat,
         )
 
     @property

@@ -179,6 +179,10 @@ class Seq2SeqTransformer(nn.Module):
     dropout: float = 0.1
     pad_id: int = 0
     head_dim: Optional[int] = 64  # T5 d_kv default
+    remat: bool = False  # rematerialize blocks in bwd: SID protocols run
+    # ~6 tokens/item (L=300 at maxlen 50), so stored attention scores are
+    # (B, H, 300, 300) per layer — 2.7 GB at B=1024; remat trades ~1.3x
+    # compute for fitting large batches in HBM
 
     def setup(self):
         self.shared = nn.Embed(
@@ -191,14 +195,16 @@ class Seq2SeqTransformer(nn.Module):
         self.dec_bias = RelativePositionBias(
             self.num_heads, bidirectional=False, name="dec_bias"
         )
+        Enc = nn.remat(EncoderBlock) if self.remat else EncoderBlock
+        Dec = nn.remat(DecoderBlock) if self.remat else DecoderBlock
         self.encoder_blocks = [
-            EncoderBlock(self.dim, self.num_heads, self.ffn_dim, self.dropout,
-                         self.head_dim)
+            Enc(self.dim, self.num_heads, self.ffn_dim, self.dropout,
+                self.head_dim)
             for _ in range(self.num_encoder_layers)
         ]
         self.decoder_blocks = [
-            DecoderBlock(self.dim, self.num_heads, self.ffn_dim, self.dropout,
-                         self.head_dim)
+            Dec(self.dim, self.num_heads, self.ffn_dim, self.dropout,
+                self.head_dim)
             for _ in range(self.num_decoder_layers)
         ]
         self.enc_final_ln = RMSNorm()

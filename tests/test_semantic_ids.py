@@ -218,3 +218,36 @@ def test_textual_feature_encoder_hash_backend(tmp_path):
         output_file="again.pkl",
     ).run()
     np.testing.assert_array_equal(feats, import_pickle(out2))
+
+
+def test_tiger_remat_matches_no_remat(tiny_dataset):
+    """remat=True only changes the autodiff schedule, not values."""
+    import jax
+    import numpy as _np
+
+    from recboard_tpu.data.tags import ID, ITEM
+    from recboard_tpu.models.zoo import REGISTRY
+    from recboard_tpu.sem.converter import SemIDConverter
+
+    Item = tiny_dataset.fields[ITEM, ID]
+    codes = _np.random.default_rng(0).integers(0, 8, size=(Item.count, 3))
+    conv = SemIDConverter.from_codes(codes)
+    TIGER = REGISTRY["TIGER"]
+    kw = dict(converter=conv, maxlen=6, num_beams=4, embedding_dim=32,
+              num_heads=2, num_encoder_layers=1, num_decoder_layers=1,
+              ffn_dim=64, dropout_rate=0.0)
+    m0 = TIGER(tiny_dataset, **kw)
+    m1 = TIGER(tiny_dataset, remat=True, **kw)
+    rng = _np.random.default_rng(0)
+    batch = {m0.ISeq: jnp.asarray(rng.integers(0, Item.count, (8, 6)), jnp.int32),
+             m0.IPos: jnp.asarray(rng.integers(0, Item.count, (8, 1)), jnp.int32)}
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    p0 = m0.init(rngs, batch)["params"]
+    l0, g0 = jax.value_and_grad(
+        lambda p: m0.apply({"params": p}, batch, method="fit")[0])(p0)
+    l1, g1 = jax.value_and_grad(
+        lambda p: m1.apply({"params": p}, batch, method="fit")[0])(p0)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)

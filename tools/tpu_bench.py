@@ -180,24 +180,25 @@ def bench_lightgcn(ds, steps):
 def bench_tiger(ds, steps):
     import jax.numpy as jnp
 
+    from recboard_tpu.data.tags import ID, ITEM
     from recboard_tpu.models.zoo import REGISTRY
     from recboard_tpu.sem.converter import SemIDConverter
-
-    N = ds.fields_item_count() if hasattr(ds, "fields_item_count") else None
-    from recboard_tpu.data.tags import ID, ITEM
 
     Item = ds.fields[ITEM, ID]
     codes = np.random.default_rng(0).integers(0, 256, size=(Item.count, 3))
     conv = SemIDConverter.from_codes(codes)
+    # reference batch (TIGER/train_t5.py): SID protocol text is ~6
+    # tokens/item → encoder L=300; B=1024 un-remat'd attention scores
+    # are 2.7 GB/layer and OOM a 16 GB chip
+    B = 256
     model = REGISTRY["TIGER"](ds, converter=conv, maxlen=MAXLEN, num_beams=4)
     rng = np.random.default_rng(0)
     batch = {
-        model.ISeq: jnp.asarray(
-            rng.integers(0, Item.count, (BATCH, MAXLEN)), jnp.int32
-        ),
-        model.IPos: jnp.asarray(rng.integers(0, Item.count, (BATCH, 1)), jnp.int32),
+        model.ISeq: jnp.asarray(rng.integers(0, Item.count, (B, MAXLEN)), jnp.int32),
+        model.IPos: jnp.asarray(rng.integers(0, Item.count, (B, 1)), jnp.int32),
     }
-    return _measure(model, batch, steps)
+    ms, loss = _measure(model, batch, steps)
+    return ms, loss, B
 
 
 BENCHES = {
@@ -225,13 +226,16 @@ def main():
     for name in args.models.split(","):
         name = name.strip()
         try:
-            ms, loss = BENCHES[name](ds, args.steps)
+            out = BENCHES[name](ds, args.steps)
+            ms, loss = out[0], out[1]
+            bsz = out[2] if len(out) > 2 else BATCH
             print(
                 json.dumps(
                     {
                         "model": name,
+                        "batch": bsz,
                         "ms_per_step": round(ms * 1e3, 3),
-                        "examples_per_s": round(BATCH / ms, 1),
+                        "examples_per_s": round(bsz / ms, 1),
                         "loss": round(loss, 4),
                     }
                 ),
