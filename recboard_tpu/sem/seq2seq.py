@@ -195,8 +195,18 @@ class Seq2SeqTransformer(nn.Module):
         self.dec_bias = RelativePositionBias(
             self.num_heads, bidirectional=False, name="dec_bias"
         )
-        Enc = nn.remat(EncoderBlock) if self.remat else EncoderBlock
-        Dec = nn.remat(DecoderBlock) if self.remat else DecoderBlock
+        # deterministic must stay a Python bool under remat (args[0] is
+        # the module itself in flax's transformed call signature)
+        Enc = (
+            nn.remat(EncoderBlock, static_argnums=(4,))
+            if self.remat
+            else EncoderBlock
+        )
+        Dec = (
+            nn.remat(DecoderBlock, static_argnums=(6,))
+            if self.remat
+            else DecoderBlock
+        )
         self.encoder_blocks = [
             Enc(self.dim, self.num_heads, self.ffn_dim, self.dropout,
                 self.head_dim)
