@@ -35,7 +35,8 @@ class FrequencyLayer(nn.Module):
         sqrt_beta = self.param(
             "sqrt_beta", nn.initializers.normal(1.0), (1, 1, self.hidden_size)
         )
-        freq = jnp.fft.rfft(x, axis=1, norm="ortho")
+        # XLA RFFT requires f32/f64 — under bf16 compute, round-trip
+        freq = jnp.fft.rfft(x.astype(jnp.float32), axis=1, norm="ortho")
         bins = jnp.arange(freq.shape[1])[None, :, None]
         low = jnp.where(bins < keep, freq, 0.0)
         low_pass = jnp.fft.irfft(low, n=L, axis=1, norm="ortho").astype(x.dtype)

@@ -36,7 +36,8 @@ class FilterLayer(nn.Module):
             _init02,
             (1, self.maxlen // 2 + 1, self.hidden_size, 2),
         )
-        freq = jnp.fft.rfft(x, axis=1, norm="ortho")
+        # XLA RFFT requires f32/f64 — under bf16 compute, round-trip
+        freq = jnp.fft.rfft(x.astype(jnp.float32), axis=1, norm="ortho")
         freq = freq * (w[..., 0] + 1j * w[..., 1])
         out = jnp.fft.irfft(freq, n=self.maxlen, axis=1, norm="ortho").astype(x.dtype)
         out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
