@@ -764,7 +764,19 @@ class Coach:
         self._load_state_dict(payload["state"])
         self.history = payload["history"]
         self._best, self._best_epoch, self._stopping_steps = payload["best"]
-        self._rng = jnp.asarray(payload["rng"])
+        saved_rng = jnp.asarray(payload["rng"])
+        # the raw key width depends on jax_default_prng_impl (threefry: 2
+        # uint32 words, rbg/unsafe_rbg: 4); a checkpoint written under a
+        # different impl cannot be reinterpreted — reseed instead of
+        # feeding a mis-sized key into fold_in/split
+        if saved_rng.shape == jnp.shape(jax.random.PRNGKey(0)):
+            self._rng = saved_rng
+        else:
+            utils.warnLogger(
+                "[Coach] >>> checkpoint rng written under a different "
+                "prng_impl; reseeding from cfg.seed"
+            )
+            self._rng = jax.random.PRNGKey(int(self.cfg.get("seed", 0)))
         return int(payload["epoch"])
 
     def resume(self) -> int:

@@ -96,3 +96,40 @@ def test_checkpoint_resume(run):
     epoch = coach2.resume()
     assert epoch == 9  # all epochs done
     assert coach2.state is not None
+
+
+def test_checkpoint_rng_impl_mismatch_reseeds(run):
+    """A checkpoint written under a different jax_default_prng_impl has a
+    differently-shaped raw key (threefry: 2 uint32 words, rbg: 4); resume
+    must reseed from cfg.seed instead of crashing in fold_in/split."""
+    import numpy as np
+
+    from recboard_tpu import utils
+    from recboard_tpu.parser import Config
+
+    ds, cfg, coach, best = run
+    file_ = os.path.join(cfg.CHECKPOINT_PATH, cfg.CHECKPOINT_FILENAME)
+    payload = utils.import_pickle(file_)
+    native_width = np.asarray(payload["rng"]).shape[-1]
+    foreign_width = 4 if native_width == 2 else 2
+    payload["rng"] = np.zeros((foreign_width,), dtype=np.uint32)
+    utils.export_pickle(payload, file_)
+    try:
+        model = MFBPR(ds, embedding_dim=32)
+        cfg2 = Config(dict(cfg))
+        cfg2["resume"] = True
+        coach2 = Coach(
+            dataset=ds,
+            trainpipe=model.sure_trainpipe(cfg.batch_size),
+            validpipe=None,
+            testpipe=None,
+            model=model,
+            cfg=cfg2,
+        )
+        assert coach2.resume() == 9
+        import jax
+
+        assert coach2._rng.shape == jax.random.PRNGKey(0).shape
+    finally:
+        payload["rng"] = np.zeros((native_width,), dtype=np.uint32)
+        utils.export_pickle(payload, file_)
