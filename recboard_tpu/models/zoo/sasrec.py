@@ -63,29 +63,56 @@ class SASRec(SeqRecArch):
             .tensor_()
         )
 
-    def encode(
-        self, data: Batch, deterministic: bool = True
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        seqs = data[self.ISeq]  # (B, L) offset ids, 0 = pad
+    def _forward(
+        self, x: jnp.ndarray, seqs: jnp.ndarray, deterministic: bool
+    ) -> jnp.ndarray:
+        """Transformer tower over already-gathered item embeddings."""
         padding_mask = (seqs == self.PADDING_VALUE)[..., None]  # (B, L, 1)
-        x = self.item_embeddings(seqs) * (self.embedding_dim**0.5)
+        x = x * (self.embedding_dim**0.5)
         positions = jnp.arange(self.maxlen)[None, :]
         x = x + self.position_embeddings(positions)
         x = self.embd_dropout(x, deterministic=deterministic)
         x = jnp.where(padding_mask, 0.0, x)
         for block in self.blocks:
             x = block(x, padding_mask, deterministic=deterministic)
-        user_embds = self.last_ln(x)  # (B, L, D)
+        return self.last_ln(x)  # (B, L, D)
+
+    def encode(
+        self, data: Batch, deterministic: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        seqs = data[self.ISeq]  # (B, L) offset ids, 0 = pad
+        user_embds = self._forward(
+            self.item_embeddings(seqs), seqs, deterministic
+        )
         item_embds = self.item_embeddings.embedding[self.NUM_PADS :]
         return user_embds, item_embds
 
     def fit(self, data: Batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-        user_embds, item_embds = self.encode(data, deterministic=False)
         seqs = data[self.ISeq]
         weights = (seqs != self.PADDING_VALUE).astype(jnp.float32)  # (B, L)
 
         if self.loss in ("BCE", "BPR"):
-            pos = item_embds[data[self.IPos]]  # (B, L, D)
+            # Targets are the inputs shifted by one (the pipe's
+            # seq_train_yielding_pos_(1, -1) contract, SASRec/main.py:147),
+            # so gather the table ONCE over the (B, L+1)-id extended
+            # sequence instead of twice over (B, L): pos embeddings are a
+            # shifted view of the same rows. Cuts backward scatter rows by
+            # a third — the step is scatter-bound on TPU (tools/
+            # scatter_probe.py). Exact at every weight>0 position because
+            # lpad_ keeps valid positions a contiguous suffix; at weight=0
+            # positions the gathered row differs but never reaches the
+            # loss. The last column appends IPos[:, -1] (the one target
+            # not present in the inputs).
+            last = jnp.where(
+                seqs[:, -1:] != self.PADDING_VALUE,
+                data[self.IPos][:, -1:] + self.NUM_PADS,
+                self.PADDING_VALUE,
+            )
+            ext = jnp.concatenate([seqs, last], axis=1)  # (B, L+1)
+            full = self.item_embeddings(ext)  # (B, L+1, D)
+            user_embds = self._forward(full[:, :-1], seqs, deterministic=False)
+            item_embds = self.item_embeddings.embedding[self.NUM_PADS :]
+            pos = full[:, 1:]  # (B, L, D) == item_embds[IPos] where weight>0
             neg = item_embds[data[self.INeg]]
             pos_logits = jnp.einsum("bld,bld->bl", user_embds, pos)
             neg_logits = jnp.einsum("bld,bld->bl", user_embds, neg)
@@ -100,6 +127,7 @@ class SASRec(SeqRecArch):
                     pos_logits, neg_logits, weights=weights
                 )
         else:  # CE over the full catalog
+            user_embds, item_embds = self.encode(data, deterministic=False)
             logits = jnp.einsum(
                 "bld,nd->bln", user_embds, item_embds,
                 preferred_element_type=jnp.float32,
