@@ -272,32 +272,54 @@ class HSTU(SeqRecArch):
             .tensor_()
         )
 
-    def encode(self, data: Batch, deterministic: bool = True):
-        seqs = data[self.ISeq]
-        timestamps = data[self.Time]
+    def _forward(self, x, seqs, timestamps, deterministic: bool):
+        """HSTU tower over already-gathered item embeddings."""
         padding_mask = (seqs == self.PADDING_VALUE)[..., None]
-        x = self.item_embeddings(seqs) * (self.embedding_dim**0.5)
+        x = x * (self.embedding_dim**0.5)
         x = x + self.pos_embeddings(jnp.arange(seqs.shape[1])[None, :])
         x = self.emb_dropout(x, deterministic=deterministic)
         x = jnp.where(padding_mask, 0.0, x)
         biases = self.rel_bias(timestamps)  # (B, L, L, num_blocks), ONCE
         for i, block in enumerate(self.blocks):
             x = block(x, biases[..., i], deterministic=deterministic)
-        user_embds = _l2norm(x)
+        return _l2norm(x)
+
+    def encode(self, data: Batch, deterministic: bool = True):
+        seqs = data[self.ISeq]
+        user_embds = self._forward(
+            self.item_embeddings(seqs), seqs, data[self.Time], deterministic
+        )
         item_embds = _l2norm(self.item_embeddings.embedding[self.NUM_PADS :])
         return user_embds, item_embds
 
     def fit(self, data: Batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         from ...ops import losses as loss_ops
 
-        user_embds, item_embds = self.encode(data, deterministic=False)
         seqs = data[self.ISeq]
         B, L = seqs.shape
         weights = (seqs != self.PADDING_VALUE).astype(jnp.float32)
         if self.shared_negs:
             # TPU-first path: one shared negative set per step → a single
             # K-row gather + an MXU matmul instead of a (B·L·K)-row
-            # random gather (ops/losses.py sampled_softmax_loss_shared)
+            # random gather (ops/losses.py sampled_softmax_loss_shared).
+            # Positives fold into the sequence gather: targets are the
+            # inputs shifted by one (time_seq_train_yielding_pos_(1, -1))
+            # and lpad_ keeps valid positions a contiguous suffix, so one
+            # (B, L+1)-row gather covers both (see zoo/sasrec.py fit).
+            last = jnp.where(
+                seqs[:, -1:] != self.PADDING_VALUE,
+                data[self.IPos][:, -1:] + self.NUM_PADS,
+                self.PADDING_VALUE,
+            )
+            ext = jnp.concatenate([seqs, last], axis=1)  # (B, L+1)
+            full = self.item_embeddings(ext)  # (B, L+1, D) raw rows
+            user_embds = self._forward(
+                full[:, :-1], seqs, data[self.Time], deterministic=False
+            )
+            item_embds = _l2norm(
+                self.item_embeddings.embedding[self.NUM_PADS :]
+            )
+            pos = _l2norm(full[:, 1:])  # == item_embds[IPos] where weight>0
             neg_ids = jax.random.randint(
                 self.make_rng("sampling"), (self.num_negs,), 0, self.Item.count
             )
@@ -308,8 +330,10 @@ class HSTU(SeqRecArch):
                 item_embds,
                 weights.reshape(-1),
                 temperature=self.temperature,
+                pos=pos.reshape(B * L, -1),
             )
             return rec_loss, {"rec_loss": rec_loss}
+        user_embds, item_embds = self.encode(data, deterministic=False)
         # on-device uniform negatives per position (HSTU/main.py:157-162)
         negatives = jax.random.randint(
             self.make_rng("sampling"), (B, L, self.num_negs), 0, self.Item.count

@@ -46,6 +46,7 @@ def sampled_softmax_loss_shared(
     table: jnp.ndarray,  # (N, D)
     weights: jnp.ndarray,  # (M,)
     temperature: float = 1.0,
+    pos: jnp.ndarray = None,  # (M, D) precomputed positive embeddings
 ) -> jnp.ndarray:
     """Sampled softmax with one SHARED negative set per step.
 
@@ -59,7 +60,8 @@ def sampled_softmax_loss_shared(
     the reference.
     """
     neg = table[neg_ids]  # (K, D) — the only gather beyond positives
-    pos = table[pos_ids]  # (M, D)
+    if pos is None:
+        pos = table[pos_ids]  # (M, D)
     pos_logit = (user * pos).sum(-1) / temperature  # (M,)
     neg_logits = (user @ neg.T) / temperature  # (M, K) — MXU
     logz = jax.scipy.special.logsumexp(

@@ -82,7 +82,8 @@ def main():
             carry, out = jax.lax.scan(step_fn, carry, i0 + jnp.arange(steps))
             return carry, out[-1]
 
-        c = carry_init()
+        # donation consumes the carry — hand each variant its own copy
+        c = jax.tree_util.tree_map(jnp.copy, carry_init())
         c, out = run_chunk(c, jnp.int32(0))
         jax.block_until_ready(out)
         best = 1e9
@@ -93,9 +94,12 @@ def main():
             best = min(best, (time.perf_counter() - t0) / steps)
         print(json.dumps({"variant": name, "ms": round(best * 1e3, 4)}), flush=True)
 
-    def loss_of(p, i, deterministic=False, stop_emb=False):
+    model_nodrop = SASRec(
+        ds, maxlen=MAXLEN, embedding_dim=64, num_blocks=2, dropout_rate=0.0
+    )
+
+    def loss_of(p, i, nodrop=False, stop_emb=False):
         rngs = {"dropout": jax.random.fold_in(base, i)}
-        variables = {"params": p}
         if stop_emb:
             p = jax.tree_util.tree_map_with_path(
                 lambda path, x: (
@@ -105,13 +109,8 @@ def main():
                 ),
                 p,
             )
-            variables = {"params": p}
-        loss, _ = model.apply(
-            variables,
-            batch,
-            method="fit",
-            rngs=None if deterministic else rngs,
-        )
+        mdl = model_nodrop if nodrop else model
+        loss, _ = mdl.apply({"params": p}, batch, method="fit", rngs=rngs)
         return loss
 
     # full step
@@ -156,7 +155,7 @@ def main():
     timeit("fwd_only", fwd_step, lambda: params)
 
     def fwd_nodrop_step(carry, i):
-        loss = loss_of(carry, i, deterministic=True)
+        loss = loss_of(carry, i, nodrop=True)
         return carry, loss
 
     timeit("fwd_nodrop", fwd_nodrop_step, lambda: params)
