@@ -122,6 +122,24 @@ def main():
 
     timeit("full", full_step, lambda: (params, tx.init(params)))
 
+    # full step, bf16 compute (the Coach's cast_compute mixed precision)
+    def loss_bf16(p, i):
+        pc = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            p,
+        )
+        return loss_of(pc, i)
+
+    def full_bf16_step(carry, i):
+        p, o = carry
+        loss, grads = jax.value_and_grad(loss_bf16)(p, i)
+        up, o = tx.update(grads, o, p)
+        return (optax.apply_updates(p, up), o), loss
+
+    timeit("full_bf16", full_bf16_step, lambda: (params, tx.init(params)))
+
     # no adam: consume grads with a scalar reduction, keep params as carry
     def no_adam(p, i):
         loss, grads = jax.value_and_grad(loss_of)(p, i)
