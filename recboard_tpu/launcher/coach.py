@@ -685,6 +685,12 @@ class Coach:
                 jax.tree.structure(self.state.opt_state),
                 jax.tree.leaves(payload["opt_state"]),
             )
+        elif payload.get("opt_state") is not None:
+            # fresh process (state not yet materialized): the pickled
+            # payload preserved the optax pytree structure — losing the
+            # moments here would silently violate the CHECKPOINT_MODULES
+            # contract (SURVEY.md §2.5)
+            opt_state = jax.tree.map(jnp.asarray, payload["opt_state"])
         else:
             opt_state = self.optimizer.init(params)
         self.state = TrainState(
@@ -732,17 +738,32 @@ class Coach:
         serialization + disk write run in a background thread with an
         atomic rename — training resumes immediately and preemption
         can't truncate the file (SURVEY.md §5.3; the reference only has
-        synchronous epoch-granularity torch.save)."""
+        synchronous epoch-granularity torch.save).
+
+        ``--checkpoint-backend orbax`` swaps the array payload onto
+        orbax's AsyncCheckpointer (TensorStore/OCDBT storage, its own
+        tmp+commit protocol, multi-host aware); the small monitor/epoch
+        metadata stays a pickle next to it either way."""
         path = self.cfg.CHECKPOINT_PATH
         utils.mkdirs(path)
-        payload = {
+        meta = {
             "epoch": epoch,
-            "state": self._state_dict(),
             "history": {k: list(v) for k, v in self.history.items()},
             "best": (self._best, self._best_epoch, self._stopping_steps),
             "rng": np.asarray(self._rng),
         }
         self._join_checkpoint_writer()
+        if self._ckpt_backend() == "orbax":
+            import orbax.checkpoint as ocp
+
+            utils.export_pickle(meta, self._orbax_dir() + ".meta")
+            self._orbax_ckptr().save(
+                self._orbax_dir(),
+                args=ocp.args.StandardSave({"state": self._state_dict()}),
+                force=True,
+            )
+            return
+        payload = dict(meta, state=self._state_dict())
         import threading
 
         self._ckpt_thread = threading.Thread(
@@ -752,13 +773,34 @@ class Coach:
         )
         self._ckpt_thread.start()
 
+    def _ckpt_backend(self) -> str:
+        return str(self.cfg.get("checkpoint_backend", "pickle") or "pickle")
+
+    def _orbax_dir(self) -> str:
+        return os.path.abspath(
+            os.path.join(self.cfg.CHECKPOINT_PATH, "checkpoint.orbax")
+        )
+
+    def _orbax_ckptr(self):
+        if getattr(self, "_ocp_ckptr", None) is None:
+            import orbax.checkpoint as ocp
+
+            self._ocp_ckptr = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler()
+            )
+        return self._ocp_ckptr
+
     def _join_checkpoint_writer(self) -> None:
         thread = getattr(self, "_ckpt_thread", None)
         if thread is not None and thread.is_alive():
             thread.join()
+        if getattr(self, "_ocp_ckptr", None) is not None:
+            self._ocp_ckptr.wait_until_finished()
 
     def load_checkpoint(self) -> int:
         self._join_checkpoint_writer()
+        if self._ckpt_backend() == "orbax":
+            return self._load_checkpoint_orbax()
         file_ = os.path.join(self.cfg.CHECKPOINT_PATH, self.cfg.CHECKPOINT_FILENAME)
         payload = utils.import_pickle(file_)
         self._load_state_dict(payload["state"])
@@ -778,6 +820,53 @@ class Coach:
             )
             self._rng = jax.random.PRNGKey(int(self.cfg.get("seed", 0)))
         return int(payload["epoch"])
+
+    def _ensure_state(self) -> None:
+        """Materialize TrainState from one batch (orbax restore needs a
+        structure template; normally the first train batch does this)."""
+        if self.state is not None:
+            return
+        if hasattr(self.trainpipe, "sample"):  # on-device sampler
+            first = jax.tree.map(
+                np.asarray, self.trainpipe.sample(self.trainpipe.epoch_key(), 0)
+            )
+            self._init_state({f: jnp.asarray(v) for f, v in first.items()})
+            return
+        self.trainpipe.set_seed(int(self.cfg.seed))
+        self.trainpipe.set_epoch(0)
+        self._init_state(next(iter(self.trainpipe)))
+
+    def _load_checkpoint_orbax(self) -> int:
+        import orbax.checkpoint as ocp
+
+        path = self._orbax_dir()
+        if not os.path.isdir(path):
+            raise FileNotFoundError(path)
+        meta = utils.import_pickle(path + ".meta")
+        self._ensure_state()
+        template = {"state": self._state_dict()}
+        restored = self._orbax_ckptr().restore(
+            path, args=ocp.args.StandardRestore(template)
+        )
+        self._load_state_dict(restored["state"])
+        self.history = meta["history"]
+        self._best, self._best_epoch, self._stopping_steps = meta["best"]
+        self._restore_rng(jnp.asarray(meta["rng"]))
+        return int(meta["epoch"])
+
+    def _restore_rng(self, saved_rng) -> None:
+        # the raw key width depends on jax_default_prng_impl (threefry: 2
+        # uint32 words, rbg/unsafe_rbg: 4); a checkpoint written under a
+        # different impl cannot be reinterpreted — reseed instead of
+        # feeding a mis-sized key into fold_in/split
+        if saved_rng.shape == jnp.shape(jax.random.PRNGKey(0)):
+            self._rng = saved_rng
+        else:
+            utils.warnLogger(
+                "[Coach] >>> checkpoint rng written under a different "
+                "prng_impl; reseeding from cfg.seed"
+            )
+            self._rng = jax.random.PRNGKey(int(self.cfg.get("seed", 0)))
 
     def resume(self) -> int:
         if self.cfg.get("resume"):

@@ -302,24 +302,13 @@ class HSTU(SeqRecArch):
             # TPU-first path: one shared negative set per step → a single
             # K-row gather + an MXU matmul instead of a (B·L·K)-row
             # random gather (ops/losses.py sampled_softmax_loss_shared).
-            # Positives fold into the sequence gather: targets are the
-            # inputs shifted by one (time_seq_train_yielding_pos_(1, -1))
-            # and lpad_ keeps valid positions a contiguous suffix, so one
-            # (B, L+1)-row gather covers both (see zoo/sasrec.py fit).
-            last = jnp.where(
-                seqs[:, -1:] != self.PADDING_VALUE,
-                data[self.IPos][:, -1:] + self.NUM_PADS,
-                self.PADDING_VALUE,
-            )
-            ext = jnp.concatenate([seqs, last], axis=1)  # (B, L+1)
-            full = self.item_embeddings(ext)  # (B, L+1, D) raw rows
-            user_embds = self._forward(
-                full[:, :-1], seqs, data[self.Time], deterministic=False
-            )
-            item_embds = _l2norm(
-                self.item_embeddings.embedding[self.NUM_PADS :]
-            )
-            pos = _l2norm(full[:, 1:])  # == item_embds[IPos] where weight>0
+            # NOTE: folding the positive gather into the sequence gather
+            # (zoo/sasrec.py fit) was tried and is ~8% SLOWER here
+            # (5.9 → 6.36 ms on the v5e Beauty config): positives must be
+            # l2-normalized, and re-normalizing (B·L, D) gathered rows
+            # fwd+bwd costs more than the one 12k-row-table normalization
+            # plus the gather/scatter it saves.
+            user_embds, item_embds = self.encode(data, deterministic=False)
             neg_ids = jax.random.randint(
                 self.make_rng("sampling"), (self.num_negs,), 0, self.Item.count
             )
@@ -330,7 +319,6 @@ class HSTU(SeqRecArch):
                 item_embds,
                 weights.reshape(-1),
                 temperature=self.temperature,
-                pos=pos.reshape(B * L, -1),
             )
             return rec_loss, {"rec_loss": rec_loss}
         user_embds, item_embds = self.encode(data, deterministic=False)

@@ -1,6 +1,6 @@
 """The fused positive-gather paths must match the explicit-gather math.
 
-SASRec and HSTU (shared_negs) fold the per-position positive embedding
+SASRec folds the per-position positive embedding
 gather into the input-sequence gather via the shift-by-one identity of
 `(time_)seq_train_yielding_pos_(1, -1)` + `lpad_` (valid positions are
 a contiguous suffix). These tests pin loss AND gradients against the
@@ -15,8 +15,7 @@ import pytest
 
 from recboard_tpu import criterions
 from recboard_tpu.data import synthetic
-from recboard_tpu.models.zoo import HSTU, SASRec
-from recboard_tpu.ops import losses as loss_ops
+from recboard_tpu.models.zoo import SASRec
 
 
 @pytest.fixture(scope="module")
@@ -74,48 +73,3 @@ def test_sasrec_fused_pos_gather_matches_explicit(ds, loss):
     l2, g2 = jax.value_and_grad(loss_ref)(params)
     assert abs(float(l1) - float(l2)) < 1e-6
     assert _max_grad_err(g1, g2) < 1e-5
-
-
-def test_hstu_fused_pos_gather_matches_explicit(ds):
-    model = HSTU(
-        dataset=ds, maxlen=16, num_blocks=2, num_heads=2, embedding_dim=32,
-        linear_hidden_dim=4, attention_dim=4, num_negs=32, num_buckets=16,
-        shared_negs=True,
-    )
-    batch = _batch(model)
-    rngs_init = {
-        "params": jax.random.PRNGKey(0),
-        "dropout": jax.random.PRNGKey(1),
-        "sampling": jax.random.PRNGKey(2),
-    }
-    params = model.init(rngs_init, batch, method=model.fit)
-    rngs = {"dropout": jax.random.PRNGKey(7), "sampling": jax.random.PRNGKey(9)}
-
-    def loss_new(p):
-        out, _ = model.apply(p, batch, method=model.fit, rngs=rngs)
-        return out
-
-    def loss_ref(p):
-        def ref_fit(mdl, data):
-            user_embds, item_embds = mdl.encode(data, deterministic=False)
-            seqs = data[mdl.ISeq]
-            B, L = seqs.shape
-            weights = (seqs != mdl.PADDING_VALUE).astype(jnp.float32)
-            neg_ids = jax.random.randint(
-                mdl.make_rng("sampling"), (mdl.num_negs,), 0, mdl.Item.count
-            )
-            return loss_ops.sampled_softmax_loss_shared(
-                user_embds.reshape(B * L, -1),
-                data[mdl.IPos].reshape(-1),
-                neg_ids,
-                item_embds,
-                weights.reshape(-1),
-                temperature=mdl.temperature,
-            )
-
-        return model.apply(p, batch, method=ref_fit, rngs=rngs)
-
-    l1, g1 = jax.value_and_grad(loss_new)(params)
-    l2, g2 = jax.value_and_grad(loss_ref)(params)
-    assert abs(float(l1) - float(l2)) < 1e-5
-    assert _max_grad_err(g1, g2) < 1e-4
