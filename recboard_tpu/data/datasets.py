@@ -205,6 +205,17 @@ class RecDataSet:
         cols = self._splits[self._mode]
         return {f: cols[f] for f in fields}
 
+    def column_abs_max(self, field: Field) -> float:
+        """max |value| of a column over ALL splits — a *static* dataset
+        statistic models may bake into compiled programs (e.g. HSTU
+        derives the largest reachable time-bucket id from the timestamp
+        range and shrinks its one-hot bias contraction to it)."""
+        hi = 0.0
+        for split in self._splits.values():
+            if field in split and split[field].size:
+                hi = max(hi, float(np.abs(split[field]).max()))
+        return hi
+
     # -------------------------------------------------------------- views
     def train(self) -> "DataSetView":
         return DataSetView(self, "train")

@@ -36,6 +36,7 @@ from typing import Any, Dict, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ... import criterions
 from ...data.tags import SEQUENCE, TIMESTAMP
@@ -53,16 +54,42 @@ def _l2norm(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
 
 
+def max_reachable_bucket(max_abs_timestamp: float) -> int:
+    """Largest time-bucket id any |diff| ≤ max_abs_timestamp can map to.
+
+    bucket(d) = floor(ln(max(|d|, 1)) / 0.301) is monotone in |d|, and
+    every |diff| in a batch is bounded by the dataset's max |timestamp|
+    (pads are 0), so buckets above this are *unreachable*: the one-hot
+    bias contraction — VPU-compare bound, ~2 ms of HSTU's 6.6 ms step —
+    only needs this many lanes. The reference (torch gather,
+    HSTU/modules.py:93-100) is insensitive to table width so this is
+    free parity: unreachable buckets get zero gradient either way.
+
+    Mirrors the on-device f32 arithmetic and keeps one guard bucket for
+    ulp-level log differences between host numpy and the XLA TPU log
+    approximation (a whole bucket spans a 1.35× range of |diff| — vastly
+    more than any log ulp)."""
+    x = np.float32(max(max_abs_timestamp, 1.0))
+    return int(np.floor(np.log(x) / np.float32(0.301))) + 1
+
+
 class RelativeBucketedTimeAndPositionBias(nn.Module):
     """(B, L) timestamps → (B, L, L) additive bias
-    (HSTU/modules.py:59-129)."""
+    (HSTU/modules.py:59-129).
+
+    ``active_buckets`` (≤ num_buckets + 1) — number of bucket ids that
+    can occur given the dataset's timestamp range (see
+    max_reachable_bucket); the one-hot select-sum runs that wide while
+    the parameter keeps its full reference shape."""
 
     maxlen: int
     num_buckets: int
+    active_buckets: int = 0  # 0 → num_buckets + 1 (no shrink)
 
     @nn.compact
     def __call__(self, timestamps: jnp.ndarray) -> jnp.ndarray:
         L = self.maxlen
+        K = self.active_buckets or (self.num_buckets + 1)
         ts_w = self.param(
             "timestamp_weights", _trunc_normal(0.02), (self.num_buckets + 1,)
         )
@@ -78,19 +105,19 @@ class RelativeBucketedTimeAndPositionBias(nn.Module):
         bucket = jnp.floor(
             jnp.log(jnp.maximum(jnp.abs(diff).astype(jnp.float32), 1.0)) / 0.301
         ).astype(jnp.int32)
-        bucket = jnp.clip(bucket, 0, self.num_buckets)
+        bucket = jnp.clip(bucket, 0, K - 1)
         # one-hot contraction instead of ts_w[bucket]: a (B·L·L)-element
         # random gather (and its scatter-add backward) is ~15× slower on
         # TPU than the 101-wide VPU select-sum; measured 45→3 ms/block
         # fwd+bwd at B=1024, L=50 on v5e.
-        one_hot = jax.nn.one_hot(bucket, self.num_buckets + 1, dtype=ts_w.dtype)
-        rel_ts_bias = one_hot @ ts_w
+        one_hot = jax.nn.one_hot(bucket, K, dtype=ts_w.dtype)
+        rel_ts_bias = one_hot @ ts_w[:K]
         return rel_pos_bias + rel_ts_bias
 
 
 class StackedRelBias(nn.Module):
     """All num_blocks relative time+position biases from ONE one-hot
-    contraction → (B, L, L, num_blocks).
+    contraction → (num_blocks, B, L, L).
 
     Identical math and init to per-block
     RelativeBucketedTimeAndPositionBias (HSTU/modules.py:59-129), but
@@ -98,35 +125,29 @@ class StackedRelBias(nn.Module):
     B=1024, L=50 — is materialized once and contracted against the
     stacked (num_buckets+1, num_blocks) weights, instead of once per
     block. Measured on a v5e: the 16-block default config's step went
-    77.7 → 16 ms/step after hoisting (bias traffic was 16 GB/step)."""
+    77.7 → 16 ms/step after hoisting (bias traffic was 16 GB/step).
+    The contraction itself lives in ops/rel_bias.py, whose Pallas
+    backward keeps the recomputed one-hot out of HBM (1.17 ms → ~0.4)."""
 
     maxlen: int
     num_buckets: int
     num_blocks: int
+    active_buckets: int = 0  # 0 → num_buckets + 1 (no shrink)
 
     @nn.compact
     def __call__(self, timestamps: jnp.ndarray) -> jnp.ndarray:
-        L, NB = self.maxlen, self.num_blocks
+        from ...ops.rel_bias import stacked_rel_bias
+
+        K = self.active_buckets or (self.num_buckets + 1)
         ts_w = self.param(
-            "timestamp_weights", _trunc_normal(0.02), (NB, self.num_buckets + 1)
+            "timestamp_weights",
+            _trunc_normal(0.02),
+            (self.num_blocks, self.num_buckets + 1),
         )
-        pos_w = self.param("position_weights", _trunc_normal(0.02), (NB, 2 * L - 1))
-
-        m = jnp.arange(L)[:, None]
-        n = jnp.arange(L)[None, :]
-        rel_pos_bias = pos_w[:, n - m + L - 1]  # (NB, L, L) toeplitz
-
-        ext = jnp.concatenate([timestamps, timestamps[:, L - 1 : L]], axis=1)
-        diff = ext[:, 1:, None] - ext[:, None, :-1]  # (B, L, L)
-        bucket = jnp.floor(
-            jnp.log(jnp.maximum(jnp.abs(diff).astype(jnp.float32), 1.0)) / 0.301
-        ).astype(jnp.int32)
-        bucket = jnp.clip(bucket, 0, self.num_buckets)
-        one_hot = jax.nn.one_hot(bucket, self.num_buckets + 1, dtype=ts_w.dtype)
-        rel_ts_bias = jnp.einsum(
-            "blmk,nk->blmn", one_hot, ts_w, preferred_element_type=jnp.float32
-        )  # (B, L, L, NB)
-        return rel_ts_bias + rel_pos_bias.transpose(1, 2, 0)[None]
+        pos_w = self.param(
+            "position_weights", _trunc_normal(0.02), (self.num_blocks, 2 * self.maxlen - 1)
+        )
+        return stacked_rel_bias(timestamps, ts_w, pos_w, K)
 
 
 class HSTUBlock(nn.Module):
@@ -221,8 +242,21 @@ class HSTU(SeqRecArch):
             )
             for i in range(self.num_blocks)
         ]
+        # static dataset statistic → reachable-bucket count: shrinks the
+        # one-hot bias contraction (the VPU-compare-bound ~2 ms of the
+        # step) to the lanes that can ever select; exact parity since
+        # unreachable buckets contribute nothing fwd and get zero grads.
+        ts_field = self.fields[TIMESTAMP]
+        max_abs_ts = (
+            self.dataset.column_abs_max(ts_field) if ts_field is not None else 0.0
+        )
+        active = (
+            min(self.num_buckets, max_reachable_bucket(max_abs_ts)) + 1
+            if max_abs_ts > 0
+            else 0
+        )
         self.rel_bias = StackedRelBias(
-            self.maxlen, self.num_buckets, self.num_blocks
+            self.maxlen, self.num_buckets, self.num_blocks, active_buckets=active
         )
 
     def sure_trainpipe(self, maxlen: int, batch_size: int):
@@ -279,9 +313,9 @@ class HSTU(SeqRecArch):
         x = x + self.pos_embeddings(jnp.arange(seqs.shape[1])[None, :])
         x = self.emb_dropout(x, deterministic=deterministic)
         x = jnp.where(padding_mask, 0.0, x)
-        biases = self.rel_bias(timestamps)  # (B, L, L, num_blocks), ONCE
+        biases = self.rel_bias(timestamps)  # (num_blocks, B, L, L), ONCE
         for i, block in enumerate(self.blocks):
-            x = block(x, biases[..., i], deterministic=deterministic)
+            x = block(x, biases[i], deterministic=deterministic)
         return _l2norm(x)
 
     def encode(self, data: Batch, deterministic: bool = True):

@@ -36,6 +36,7 @@ __all__ = [
     "sampled_softmax_loss_reference",
     "sampled_softmax_loss_pallas",
     "sampled_softmax_loss_shared",
+    "sampled_softmax_shared_fused",
 ]
 
 
@@ -47,6 +48,7 @@ def sampled_softmax_loss_shared(
     weights: jnp.ndarray,  # (M,)
     temperature: float = 1.0,
     pos: jnp.ndarray = None,  # (M, D) precomputed positive embeddings
+    fused: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Sampled softmax with one SHARED negative set per step.
 
@@ -58,10 +60,21 @@ def sampled_softmax_loss_shared(
     family the reference's per-position sampler approximates,
     HSTU/main.py:157-201); accidental positive hits are left in, as in
     the reference.
+
+    ``fused`` (default: auto — on for TPU) routes through the Pallas
+    flash-style kernel (sampled_softmax_shared_fused) that never
+    materializes the (M, K) logits matrix in HBM.
     """
     neg = table[neg_ids]  # (K, D) — the only gather beyond positives
     if pos is None:
         pos = table[pos_ids]  # (M, D)
+    if fused is None:
+        fused = (
+            jax.default_backend() == "tpu"
+            and neg.shape[0] * user.shape[1] * 4 <= 2**22  # neg fits VMEM
+        )
+    if fused:
+        return sampled_softmax_shared_fused(user, pos, neg, weights, temperature)
     pos_logit = (user * pos).sum(-1) / temperature  # (M,)
     neg_logits = (user @ neg.T) / temperature  # (M, K) — MXU
     logz = jax.scipy.special.logsumexp(
@@ -176,3 +189,177 @@ def sampled_softmax_loss_pallas(
         table.astype(jnp.float32),
     )
     return loss_rows[:, 0].sum() / jnp.maximum(weights.sum(), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Fused shared-negative sampled softmax (Pallas, custom VJP)
+#
+# sampled_softmax_loss_shared materializes the (M, K) logits matrix in
+# HBM (105 MB at HSTU's Beauty step, read ~4x across fwd/LSE/bwd). The
+# shared negative set is a dense (K, D) matrix, so — unlike the
+# per-position variant — nothing here needs an int gather: a flash-
+# style kernel computes logits tile-by-tile in VMEM, reduces the
+# log-partition online, and the backward recomputes the tile instead of
+# reloading it. Residuals are two (M,) vectors.
+# ---------------------------------------------------------------------------
+
+
+def _shared_fwd_kernel(u_ref, p_ref, n_ref, logz_ref, pl_ref, *, inv_tau):
+    u = u_ref[...]  # (TM, D)
+    pos = p_ref[...]  # (TM, D)
+    neg = n_ref[...]  # (K, D)
+    logits = jax.lax.dot_general(
+        u, neg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * inv_tau  # (TM, K)
+    pos_logit = jnp.sum(u * pos, axis=-1, keepdims=True) * inv_tau  # (TM, 1)
+    m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), pos_logit)
+    z = jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True) + jnp.exp(
+        pos_logit - m
+    )
+    logz_ref[...] = jnp.log(z) + m
+    pl_ref[...] = pos_logit
+
+
+def _shared_bwd_kernel(
+    u_ref, p_ref, n_ref, logz_ref, pl_ref, s_ref,
+    du_ref, dp_ref, dn_ref, *, inv_tau,
+):
+    u = u_ref[...]
+    pos = p_ref[...]
+    neg = n_ref[...]
+    logz = logz_ref[...]  # (TM, 1)
+    s = s_ref[...]  # (TM, 1) = g * w / W
+    logits = jax.lax.dot_general(
+        u, neg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * inv_tau
+    p = jnp.exp(logits - logz) * s  # (TM, K): s_i * softmax prob
+    ppos = jnp.exp(pl_ref[...] - logz)  # (TM, 1)
+    coef = s * (ppos - 1.0)  # d pos_logit
+    du_ref[...] = (
+        jax.lax.dot_general(
+            p, neg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        + coef * pos
+    ) * inv_tau
+    dp_ref[...] = (coef * u) * inv_tau
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dn_ref[...] = jnp.zeros_like(dn_ref)
+
+    dn_ref[...] += jax.lax.dot_general(
+        p, u, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * inv_tau  # (K, D)
+
+
+def _shared_tiles(M: int, tile: int = 512):
+    TM = min(tile, max(8, M))
+    TM = ((TM + 7) // 8) * 8
+    pad = (-M) % TM
+    return TM, pad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def sampled_softmax_shared_fused(
+    user: jnp.ndarray,  # (M, D)
+    pos: jnp.ndarray,  # (M, D)
+    neg: jnp.ndarray,  # (K, D)
+    weights: jnp.ndarray,  # (M,)
+    temperature: float = 1.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    loss, _ = _shared_fused_fwd(user, pos, neg, weights, temperature, interpret)
+    return loss
+
+
+def _shared_fused_run(user, pos, neg, temperature, interpret):
+    M, D = user.shape
+    K = neg.shape[0]
+    TM, pad = _shared_tiles(M)
+    if pad:
+        user = jnp.pad(user, ((0, pad), (0, 0)))
+        pos = jnp.pad(pos, ((0, pad), (0, 0)))
+    G = user.shape[0] // TM
+    logz, pos_logit = pl.pallas_call(
+        functools.partial(_shared_fwd_kernel, inv_tau=1.0 / temperature),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((TM, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G * TM, 1), jnp.float32),
+            jax.ShapeDtypeStruct((G * TM, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(user, pos, neg)
+    return logz[:M, 0], pos_logit[:M, 0]
+
+
+def _shared_fused_fwd(user, pos, neg, weights, temperature, interpret):
+    logz, pos_logit = _shared_fused_run(user, pos, neg, temperature, interpret)
+    nll = logz - pos_logit
+    W = jnp.maximum(weights.sum(), 1.0)
+    loss = (nll * weights).sum() / W
+    return loss, (user, pos, neg, weights, logz, pos_logit, nll, W, loss)
+
+
+def _shared_fused_bwd(temperature, interpret, res, g):
+    user, pos, neg, weights, logz, pos_logit, nll, W, loss = res
+    M, D = user.shape
+    K = neg.shape[0]
+    TM, pad = _shared_tiles(M)
+    s = (g * weights / W)[:, None]  # (M, 1)
+    if pad:
+        user = jnp.pad(user, ((0, pad), (0, 0)))
+        pos = jnp.pad(pos, ((0, pad), (0, 0)))
+        s = jnp.pad(s, ((0, pad), (0, 0)))
+        logz = jnp.pad(logz, (0, pad), constant_values=1.0)
+        pos_logit = jnp.pad(pos_logit, (0, pad))
+    G = user.shape[0] // TM
+    du, dpos, dneg = pl.pallas_call(
+        functools.partial(_shared_bwd_kernel, inv_tau=1.0 / temperature),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((TM, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TM, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G * TM, D), jnp.float32),
+            jax.ShapeDtypeStruct((G * TM, D), jnp.float32),
+            jax.ShapeDtypeStruct((K, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        user,
+        pos,
+        neg,
+        logz[:, None],
+        pos_logit[:, None],
+        s,
+    )
+    # d loss / d w_i = (nll_i - loss * [sum(w) >= 1]) / W  (mirrors the
+    # autodiff of (nll*w).sum()/maximum(w.sum(), 1); weights come from
+    # integer masks in practice, so this grad is discarded upstream)
+    flow = (weights.sum() >= 1.0).astype(jnp.float32)
+    dweights = g * (nll - loss * flow) / W
+    return du[:M].astype(user.dtype), dpos[:M].astype(pos.dtype), dneg.astype(
+        neg.dtype
+    ), dweights
+
+
+sampled_softmax_shared_fused.defvjp(_shared_fused_fwd, _shared_fused_bwd)

@@ -94,8 +94,8 @@ def test_stacked_rel_bias_matches_per_block():
     stacked = StackedRelBias(maxlen=L, num_buckets=K, num_blocks=NB)
     ts = jnp.asarray([[0, 3, 9, 40, 300, 301], [5, 6, 7, 8, 9, 100]])
     params = stacked.init(jax.random.PRNGKey(0), ts)
-    all_bias = stacked.apply(params, ts)  # (B, L, L, NB)
-    assert all_bias.shape == (2, L, L, NB)
+    all_bias = stacked.apply(params, ts)  # (NB, B, L, L)
+    assert all_bias.shape == (NB, 2, L, L)
     single = RelativeBucketedTimeAndPositionBias(maxlen=L, num_buckets=K)
     for b in range(NB):
         sub = {
@@ -106,5 +106,76 @@ def test_stacked_rel_bias_matches_per_block():
         }
         ref = single.apply(sub, ts)  # (B, L, L)
         np.testing.assert_allclose(
-            np.asarray(all_bias[..., b]), np.asarray(ref), rtol=1e-5, atol=1e-6
+            np.asarray(all_bias[b]), np.asarray(ref), rtol=1e-5, atol=1e-6
         )
+
+
+def test_active_buckets_shrink_is_exact():
+    """StackedRelBias with active_buckets = max reachable bucket + 1
+    must match the full-width contraction bit-for-bit in value AND
+    gradients (unreachable buckets get zero grads either way)."""
+    import jax
+
+    from recboard_tpu.models.zoo.hstu import StackedRelBias, max_reachable_bucket
+
+    L, K, NB = 6, 200, 2
+    max_ts = 5000
+    active = min(K, max_reachable_bucket(max_ts)) + 1
+    assert active < K + 1  # the shrink actually engages
+    full = StackedRelBias(maxlen=L, num_buckets=K, num_blocks=NB)
+    shrunk = StackedRelBias(
+        maxlen=L, num_buckets=K, num_blocks=NB, active_buckets=active
+    )
+    rng = np.random.default_rng(3)
+    ts = jnp.asarray(
+        np.sort(rng.integers(0, max_ts + 1, (4, L)), axis=1), jnp.int32
+    )
+    params = full.init(jax.random.PRNGKey(0), ts)  # same param shapes
+
+    out_full = full.apply(params, ts)
+    out_shrunk = shrunk.apply(params, ts)
+    np.testing.assert_array_equal(np.asarray(out_full), np.asarray(out_shrunk))
+
+    def loss(mod):
+        def f(p):
+            out = mod.apply({"params": p}, ts)
+            return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+        return f
+
+    g_full = jax.grad(loss(full))(params["params"])
+    g_shrunk = jax.grad(loss(shrunk))(params["params"])
+    for key in g_full:
+        np.testing.assert_allclose(
+            np.asarray(g_full[key]), np.asarray(g_shrunk[key]), rtol=1e-6, atol=0
+        )
+    # unreachable buckets: zero gradient on both paths
+    assert np.abs(np.asarray(g_full["timestamp_weights"])[:, active:]).max() == 0
+
+
+def test_hstu_derives_active_buckets(tiny_dataset):
+    """HSTU bakes the dataset's reachable-bucket count into its bias."""
+    import jax
+
+    from recboard_tpu.data.tags import TIMESTAMP
+    from recboard_tpu.models.zoo import HSTU
+    from recboard_tpu.models.zoo.hstu import max_reachable_bucket
+
+    model = HSTU(tiny_dataset, maxlen=8, num_blocks=1, num_heads=2,
+                 linear_hidden_dim=4, attention_dim=4, num_buckets=128)
+    ts_field = tiny_dataset.fields[TIMESTAMP]
+    if ts_field is None:
+        return  # fixture has no timestamp column; nothing to derive
+    max_abs = tiny_dataset.column_abs_max(ts_field)
+    want = min(128, max_reachable_bucket(max_abs)) + 1
+
+    bound = model.bind(
+        {"params": model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+             "sampling": jax.random.PRNGKey(2)},
+            {model.ISeq: jnp.zeros((2, 8), jnp.int32),
+             model.IPos: jnp.zeros((2, 8), jnp.int32),
+             model.Time: jnp.zeros((2, 8), jnp.int32)},
+            method="fit",
+        )["params"]}
+    )
+    assert bound.rel_bias.active_buckets == want

@@ -176,3 +176,104 @@ def test_dropout_mask_pallas_tpu():
     np.testing.assert_allclose(np.unique(m[m != 0]), [1.25], rtol=1e-6)
     m2 = np.asarray(dropout_mask(jax.random.PRNGKey(0), (1024, 50, 64), 0.2))
     np.testing.assert_array_equal(m, m2)
+
+
+def test_sampled_softmax_shared_fused_matches_autodiff():
+    """Pallas fused shared-neg softmax (interpret mode): value and all
+    four gradients must match autodiff of the jnp formulation."""
+    from recboard_tpu.ops import losses as L
+
+    rng = np.random.default_rng(11)
+    M, K, D = 70, 12, 8  # M not a tile multiple → exercises padding
+    user = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    pos = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    neg = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
+    w = jnp.asarray(rng.integers(0, 2, size=(M,)), jnp.float32)
+    tau = 0.3
+
+    def ref(user, pos, neg, w):
+        pl_ = (user * pos).sum(-1) / tau
+        nl = (user @ neg.T) / tau
+        logz = jax.scipy.special.logsumexp(
+            jnp.concatenate([pl_[:, None], nl], axis=1), axis=-1
+        )
+        return ((logz - pl_) * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+    def fused(user, pos, neg, w):
+        return L.sampled_softmax_shared_fused(user, pos, neg, w, tau, True)
+
+    a = ref(user, pos, neg, w)
+    b = fused(user, pos, neg, w)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+    ga = jax.grad(ref, argnums=(0, 1, 2, 3))(user, pos, neg, w)
+    gb = jax.grad(fused, argnums=(0, 1, 2, 3))(user, pos, neg, w)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-5)
+
+
+def test_sampled_softmax_shared_fused_dispatch():
+    """fused=True through the public entry (table gathers outside the
+    kernel) == fused=False, including table gradients."""
+    from recboard_tpu.ops import losses as L
+    import recboard_tpu.ops.losses as lmod
+    from unittest import mock
+
+    rng = np.random.default_rng(5)
+    M, K, D, N = 40, 6, 8, 25
+    user = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    pos = jnp.asarray(rng.integers(0, N, size=(M,)), jnp.int32)
+    negs = jnp.asarray(rng.integers(0, N, size=(K,)), jnp.int32)
+    table = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    w = jnp.asarray(rng.integers(0, 2, size=(M,)), jnp.float32)
+
+    orig = lmod.sampled_softmax_shared_fused
+    with mock.patch.object(
+        lmod, "sampled_softmax_shared_fused",
+        lambda u, p, n, ww, t: orig(u, p, n, ww, t, True),
+    ):
+        def f_fused(t):
+            return L.sampled_softmax_loss_shared(
+                user, pos, negs, t, w, 0.5, fused=True
+            )
+
+        def f_plain(t):
+            return L.sampled_softmax_loss_shared(
+                user, pos, negs, t, w, 0.5, fused=False
+            )
+
+        np.testing.assert_allclose(
+            float(f_fused(table)), float(f_plain(table)), rtol=1e-5
+        )
+        ga = jax.grad(f_fused)(table)
+        gb = jax.grad(f_plain)(table)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=2e-5)
+
+
+def test_stacked_rel_bias_kernel_bwd():
+    """custom-VJP stacked bias (Pallas bwd, interpret mode) == plain
+    XLA autodiff: values and both weight gradients."""
+    from recboard_tpu.ops import rel_bias as RB
+
+    rng = np.random.default_rng(9)
+    NB, B, L, KT = 3, 5, 7, 40
+    K = 23
+    ts = jnp.asarray(np.sort(rng.integers(0, 4000, (B, L)), axis=1), jnp.int32)
+    ts_w = jnp.asarray(rng.normal(size=(NB, KT)), jnp.float32)
+    pos_w = jnp.asarray(rng.normal(size=(NB, 2 * L - 1)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(NB, B, L, L)), jnp.float32)
+
+    def scalar(f):
+        return lambda tw, pw: jnp.vdot(f(ts, tw, pw, K), cot)
+
+    ref = scalar(RB.stacked_rel_bias_reference)
+    ker = scalar(
+        lambda t, tw, pw, k: RB.stacked_rel_bias(
+            t, tw, pw, k, kernel_bwd=True, interpret=True
+        )
+    )
+    np.testing.assert_allclose(float(ref(ts_w, pos_w)), float(ker(ts_w, pos_w)), rtol=1e-6)
+    ga = jax.grad(ref, argnums=(0, 1))(ts_w, pos_w)
+    gb = jax.grad(ker, argnums=(0, 1))(ts_w, pos_w)
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]), rtol=1e-4, atol=1e-4)
