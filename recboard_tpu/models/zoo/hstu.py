@@ -126,8 +126,8 @@ class StackedRelBias(nn.Module):
     stacked (num_buckets+1, num_blocks) weights, instead of once per
     block. Measured on a v5e: the 16-block default config's step went
     77.7 → 16 ms/step after hoisting (bias traffic was 16 GB/step).
-    The contraction itself lives in ops/rel_bias.py, whose Pallas
-    backward keeps the recomputed one-hot out of HBM (1.17 ms → ~0.4)."""
+    The contraction lives in ops/rel_bias.py (XLA fwd+bwd; a Pallas
+    backward was measured and lost — see that module's docstring)."""
 
     maxlen: int
     num_buckets: int

@@ -1,19 +1,20 @@
-"""HSTU stacked relative time+position bias with a Pallas backward.
-
-Forward (XLA) is compare-bound and fast: the one-hot bucket contraction
-lowers to a fused select-accumulate (~0.35 ms at B=1024, L=50, K=51 on
-a v5e). The *backward* is the problem: XLA materializes the recomputed
-(B·L·L, K) one-hot for the d_ts_w reduction — ~0.5 GB of HBM traffic,
-measured 1.17 ms of the 5.9 ms HSTU step. Here the backward is a Pallas
-kernel: `g` streams through VMEM in its native (NB, X) layout, the two
-one-hots (time buckets, toeplitz offsets) are built on the fly by
-lane-broadcast compares, and both weight gradients accumulate on the
-MXU. Nothing X-sized ever returns to HBM.
+"""HSTU stacked relative time+position bias.
 
 Semantics are exactly HSTU/modules.py:59-129 (see models/zoo/hstu.py):
   bias[nb, b, m, n] = pos_w[nb, n-m+L-1] + ts_w[nb, bucket(b, m, n)]
   bucket = clip(floor(ln(max(|ext[m+1]-ext[n]|, 1)) / 0.301), 0, K-1)
 Output layout is (NB, B, L, L) so the cotangent needs no transpose.
+
+The forward one-hot contraction lowers to a fused XLA select-accumulate
+(~0.35 ms at B=1024, L=50, K=51 on a v5e — VPU-compare bound). A Pallas
+custom-VJP backward (`kernel_bwd=True`) was built to keep the
+recomputed one-hot out of HBM, and is kept here as a measured NEGATIVE
+result: the weight-gradient histogram is a (NB, X) @ (X, K) contraction
+with M=NB=4, so the MXU pays X/128 K-passes at ~3% utilization —
+3.7 ms vs XLA autodiff's 1.5 ms at the Beauty shape (three layout
+variants tried: (X,1) column index math 7.9 ms; lane-contracted
+dot_general 2.4 ms; native A@B with transposed aux 3.7 ms; see
+tools/relbias_probe.py). XLA's fused reduce wins; default stays XLA.
 
 Equivalence (value + grads, interpret mode) pinned by
 tests/test_ops.py::test_stacked_rel_bias_kernel_bwd.
@@ -180,9 +181,10 @@ def stacked_rel_bias(
     kernel_bwd: bool | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(NB, B, L, L) stacked bias; Pallas backward on TPU by default."""
+    """(NB, B, L, L) stacked bias; XLA backward by default (the Pallas
+    backward is a documented negative result — see module docstring)."""
     if kernel_bwd is None:
-        kernel_bwd = jax.default_backend() == "tpu"
+        kernel_bwd = False
     if not kernel_bwd:
         return stacked_rel_bias_reference(timestamps, ts_w, pos_w, K)
     return _stacked_rel_bias_cv(timestamps, ts_w, pos_w, K, interpret)

@@ -144,6 +144,44 @@ def main():
 
     make_variant("bias_zero", call_zero)
 
+    if args.extended:
+        # kill the loss path: grads flow only through mean(user_embds)
+        def loss_mean(p, i):
+            seqs = batch[model.ISeq]
+            user_embds, item_embds = model.apply(
+                {"params": p}, batch, False, method="encode",
+                rngs={"dropout": jax.random.fold_in(base, i),
+                      "sampling": jax.random.fold_in(base, i + 1_000_000)},
+            )
+            return user_embds.mean() + 0.0 * item_embds.mean()
+
+        timeit("tower_only", loss_mean)
+
+        # single-block model: isolates per-block backward cost
+        model1 = HSTU(
+            ds, maxlen=MAXLEN, embedding_dim=64, num_heads=2, num_blocks=1,
+            linear_hidden_dim=4, attention_dim=4, num_buckets=128,
+            temperature=0.1, shared_negs=True,
+        )
+        params1 = model1.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+             "sampling": jax.random.PRNGKey(2)}, batch)["params"]
+
+        def loss1(p, i):
+            loss, _ = model1.apply(
+                {"params": p}, batch, method="fit",
+                rngs={"dropout": jax.random.fold_in(base, i),
+                      "sampling": jax.random.fold_in(base, i + 1_000_000)},
+            )
+            return loss
+
+        saved = params
+        params = params1  # timeit reads the enclosing params
+        try:
+            timeit("one_block", loss1)
+        finally:
+            params = saved
+
     def fwd_step(carry, i):
         return carry, loss_plain(carry, i)
 
