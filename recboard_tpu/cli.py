@@ -6,6 +6,8 @@ make        Build Processed/<name>/ from a raw TSV (the `freerec make`
             analogue: k-core filter + dense reindex + LOU/ROU split,
             SURVEY.md §3.5; build command recorded in meta.json).
 run         Train/evaluate a zoo model (recboard_tpu.run).
+recommend   Batch inference: top-k recommendations from a finished run
+            (recboard_tpu.serve).
 benchmark   Aggregate the benchmark store into leaderboard data.
 bench       Print the throughput benchmark JSON line.
 """
@@ -56,6 +58,10 @@ def main(argv=None):
         from . import run
 
         run.main(rest)
+    elif cmd == "recommend":
+        from . import serve
+
+        serve.main(rest)
     elif cmd == "benchmark":
         from . import benchmark
 
@@ -66,7 +72,9 @@ def main(argv=None):
         sys.argv = ["bench.py"] + rest
         runpy.run_path("bench.py", run_name="__main__")
     else:
-        raise SystemExit(f"unknown command {cmd!r}; one of: make, run, benchmark, bench")
+        raise SystemExit(
+            f"unknown command {cmd!r}; one of: make, run, recommend, benchmark, bench"
+        )
 
 
 if __name__ == "__main__":

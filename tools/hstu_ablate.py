@@ -33,6 +33,9 @@ NUM_ITEMS = 12_101
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--extended", action="store_true",
+                    help="also time tower-only and single-block variants")
+    ap.add_argument("--blocks", type=int, default=4)
     args = ap.parse_args()
 
     import jax
@@ -58,11 +61,12 @@ def main():
         kcore4item=0,
     )
 
-    def build():
+    def build(**kw):
+        kw.setdefault("num_blocks", args.blocks)
         return HSTU(
-            ds, maxlen=MAXLEN, embedding_dim=64, num_heads=2, num_blocks=4,
+            ds, maxlen=MAXLEN, embedding_dim=64, num_heads=2,
             linear_hidden_dim=4, attention_dim=4, num_buckets=128,
-            temperature=0.1, shared_negs=True,
+            temperature=0.1, shared_negs=True, **kw,
         )
 
     model = build()
@@ -122,6 +126,24 @@ def main():
         return loss
 
     timeit("full", loss_plain)
+
+    # rematerialized blocks: backward recomputes the per-block
+    # (B, H, L, L) qk/attn intermediates instead of reloading them
+    model_remat = build(remat=True)
+
+    def loss_remat(p, i):
+        loss, _ = model_remat.apply(
+            {"params": p},
+            batch,
+            method="fit",
+            rngs={
+                "dropout": jax.random.fold_in(base, i),
+                "sampling": jax.random.fold_in(base, i + 1_000_000),
+            },
+        )
+        return loss
+
+    timeit("remat", loss_remat)
 
     # patch StackedRelBias.__call__ via monkeypatching the module class
     orig_call = hstu_mod.StackedRelBias.__call__
