@@ -56,12 +56,23 @@ class BSAAttention(nn.Module):
     def __call__(
         self, x: jnp.ndarray, key_padding_mask: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
+        L = x.shape[1]
         q = nn.Dense(self.hidden_size, kernel_init=xavier_normal, name="query")(x)
         k = nn.Dense(self.hidden_size, kernel_init=xavier_normal, name="key")(x)
         v = nn.Dense(self.hidden_size, kernel_init=xavier_normal, name="value")(x)
+        # the reference masks with an additive -1e4, NOT -inf
+        # (BSARec/main.py:133-141): for a fully-padded query row every
+        # score shifts by the same -1e4, so softmax degrades to plain
+        # softmax over the raw scores rather than zeros. Those pad rows
+        # LEAK into valid positions through the next block's FFT branch
+        # (FrequencyLayer mixes along time), so replicate the additive
+        # mask exactly instead of hard masking.
+        allowed = jnp.tril(
+            jnp.broadcast_to(~key_padding_mask[:, None, None, :], (x.shape[0], 1, L, L))
+        )
+        add = jnp.where(allowed, 0.0, -1.0e4)
         ctx = attn_ops.mha(
-            q, k, v, num_heads=self.num_heads, causal=True,
-            key_padding_mask=key_padding_mask,
+            q, k, v, num_heads=self.num_heads, causal=False, bias=add,
         )
         out = nn.Dense(self.hidden_size, kernel_init=xavier_normal, name="dense")(ctx)
         out = nn.Dropout(self.hidden_dropout_rate)(out, deterministic=deterministic)

@@ -30,6 +30,9 @@ class SASRec(SeqRecArch):
     embedding_dim: int = 64
     dropout_rate: float = 0.2
     loss: str = "BCE"  # BCE | BPR | CE
+    # rematerialize blocks in backward (recompute instead of reloading
+    # saved intermediates) — A/B'd in tools/step_ablate.py
+    remat: bool = False
 
     def setup(self):
         self.item_embeddings = nn.Embed(
@@ -41,8 +44,12 @@ class SASRec(SeqRecArch):
             self.maxlen, self.embedding_dim, embedding_init=xavier_normal
         )
         self.embd_dropout = nn.Dropout(self.dropout_rate)
+        # deterministic (arg 3 counting the module) must stay static
+        Block = (
+            nn.remat(SASRecBlock, static_argnums=(3,)) if self.remat else SASRecBlock
+        )
         self.blocks = [
-            SASRecBlock(self.embedding_dim, self.num_heads, self.dropout_rate)
+            Block(self.embedding_dim, self.num_heads, self.dropout_rate)
             for _ in range(self.num_blocks)
         ]
         self.last_ln = nn.LayerNorm(epsilon=1e-8)
@@ -74,7 +81,8 @@ class SASRec(SeqRecArch):
         x = self.embd_dropout(x, deterministic=deterministic)
         x = jnp.where(padding_mask, 0.0, x)
         for block in self.blocks:
-            x = block(x, padding_mask, deterministic=deterministic)
+            # positional deterministic: under nn.remat it is static arg 3
+            x = block(x, padding_mask, deterministic)
         return self.last_ln(x)  # (B, L, D)
 
     def encode(

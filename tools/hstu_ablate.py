@@ -127,12 +127,13 @@ def main():
 
     timeit("full", loss_plain)
 
-    # rematerialized blocks: backward recomputes the per-block
-    # (B, H, L, L) qk/attn intermediates instead of reloading them
-    model_remat = build(remat=True)
+    # non-rematerialized blocks (the pre-default behavior): backward
+    # reloads each block's saved (B, H, L, L) qk/attn intermediates
+    # from HBM instead of recomputing them (measured 6.09 vs 5.12 ms)
+    model_no_remat = build(remat=False)
 
-    def loss_remat(p, i):
-        loss, _ = model_remat.apply(
+    def loss_no_remat(p, i):
+        loss, _ = model_no_remat.apply(
             {"params": p},
             batch,
             method="fit",
@@ -143,7 +144,7 @@ def main():
         )
         return loss
 
-    timeit("remat", loss_remat)
+    timeit("no_remat", loss_no_remat)
 
     # patch StackedRelBias.__call__ via monkeypatching the module class
     orig_call = hstu_mod.StackedRelBias.__call__

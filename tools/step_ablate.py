@@ -140,6 +140,32 @@ def main():
 
     timeit("full_bf16", full_bf16_step, lambda: (params, tx.init(params)))
 
+    # block rematerialization: recompute the forward in bwd instead of
+    # reloading saved intermediates. Measured LOSING on SASRec (2.87 vs
+    # 3.48 ms on the v5e bench config): the dropout-heavy forward
+    # recompute costs more than the reloads it saves at 2 blocks —
+    # unlike HSTU, whose 4 blocks of (B, H, L, L) intermediates make
+    # remat a 16% win (tools/hstu_ablate.py).
+    model_remat = SASRec(
+        ds, maxlen=MAXLEN, embedding_dim=64, num_blocks=2, remat=True
+    )
+
+    def full_remat_step(carry, i):
+        p, o = carry
+
+        def loss_remat(p, i):
+            loss, _ = model_remat.apply(
+                {"params": p}, batch, method="fit",
+                rngs={"dropout": jax.random.fold_in(base, i)},
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_remat)(p, i)
+        up, o = tx.update(grads, o, p)
+        return (optax.apply_updates(p, up), o), loss
+
+    timeit("full_remat", full_remat_step, lambda: (params, tx.init(params)))
+
     # no adam: consume grads with a scalar reduction, keep params as carry
     def no_adam(p, i):
         loss, grads = jax.value_and_grad(loss_of)(p, i)
