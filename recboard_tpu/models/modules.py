@@ -3,6 +3,7 @@ role): transformer encoder blocks, MLPs, init helpers."""
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -38,7 +39,15 @@ class PointWiseFFN(nn.Module):
 
 class SASRecBlock(nn.Module):
     """One SASRec block: LN(Q-only) + causal MHA residual, LN + FFN
-    residual, pad re-zeroing (SASRec/main.py:163-176)."""
+    residual, pad re-zeroing (SASRec/main.py:163-176).
+
+    Mask semantics replicated exactly: the reference passes ONLY the
+    causal ``attnMask`` to ``nn.MultiheadAttention`` — pad *keys* are
+    attendable (their k/v are the projection biases, since pad
+    positions are re-zeroed before every block), so no key-padding
+    mask here. Dropout sits on the attention probabilities
+    (``nn.MultiheadAttention(dropout=...)``), not after the output
+    projection. Pinned by tests/test_crosscheck_sasrec_fwd.py."""
 
     embedding_dim: int
     num_heads: int = 1
@@ -57,19 +66,18 @@ class SASRecBlock(nn.Module):
         qp = nn.Dense(self.embedding_dim, kernel_init=xavier_normal, name="q_proj")(q_in)
         kp = nn.Dense(self.embedding_dim, kernel_init=xavier_normal, name="k_proj")(seqs)
         vp = nn.Dense(self.embedding_dim, kernel_init=xavier_normal, name="v_proj")(seqs)
+        dropout_active = self.dropout_rate > 0.0 and not deterministic
         attended = attn_ops.mha(
             qp,
             kp,
             vp,
             num_heads=self.num_heads,
             causal=True,
-            key_padding_mask=padding_mask[..., 0],
+            dropout_rate=self.dropout_rate,
+            dropout_rng=self.make_rng("dropout") if dropout_active else None,
         )
         proj = nn.Dense(self.embedding_dim, kernel_init=xavier_normal, name="out_proj")
-        attended = nn.Dropout(self.dropout_rate)(
-            proj(attended), deterministic=deterministic
-        )
-        seqs = attended + seqs
+        seqs = proj(attended) + seqs
         seqs = nn.LayerNorm(epsilon=1e-8)(seqs)
         seqs = PointWiseFFN(self.embedding_dim, self.dropout_rate)(
             seqs, deterministic=deterministic
@@ -78,13 +86,18 @@ class SASRecBlock(nn.Module):
 
 
 class TransformerBlock(nn.Module):
-    """Standard post-LN encoder block (BERT4Rec-style, bidirectional)."""
+    """Post-LN encoder block mirroring ``torch.nn.TransformerEncoderLayer``
+    (batch_first, norm_first=False, activation="gelu") as used by the
+    reference BERT4Rec (BERT4Rec/main.py:71-81): dropout on the attention
+    probabilities AND after the attention output, a dropout after the FFN
+    activation AND after its second linear, exact (erf) gelu, LN eps 1e-5
+    (torch defaults)."""
 
     embedding_dim: int
     num_heads: int = 2
     intermediate_dim: Optional[int] = None
     dropout_rate: float = 0.1
-    activation: Callable = nn.gelu
+    activation: Callable = functools.partial(nn.gelu, approximate=False)
 
     @nn.compact
     def __call__(
@@ -97,21 +110,25 @@ class TransformerBlock(nn.Module):
             (3, self.embedding_dim), axis=-1, kernel_init=xavier_normal, name="qkv"
         )(seqs)
         q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+        dropout_active = self.dropout_rate > 0.0 and not deterministic
         attended = attn_ops.mha(
             q, k, v, num_heads=self.num_heads, causal=False,
             key_padding_mask=key_padding_mask,
+            dropout_rate=self.dropout_rate,
+            dropout_rng=self.make_rng("dropout") if dropout_active else None,
         )
         attended = nn.Dense(
             self.embedding_dim, kernel_init=xavier_normal, name="out_proj"
         )(attended)
         attended = nn.Dropout(self.dropout_rate)(attended, deterministic=deterministic)
-        x = nn.LayerNorm()(seqs + attended)
+        x = nn.LayerNorm(epsilon=1e-5)(seqs + attended)
         inter = self.intermediate_dim or 4 * self.embedding_dim
         h = nn.Dense(inter, kernel_init=xavier_normal)(x)
         h = self.activation(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         h = nn.Dense(self.embedding_dim, kernel_init=xavier_normal)(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return nn.LayerNorm()(x + h)
+        return nn.LayerNorm(epsilon=1e-5)(x + h)
 
 
 class MLP(nn.Module):

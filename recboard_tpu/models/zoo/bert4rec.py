@@ -49,7 +49,7 @@ class BERT4Rec(SeqRecArch):
         self.position_embeddings = nn.Embed(
             self.maxlen, self.embedding_dim, embedding_init=_clamped_xavier
         )
-        self.layernorm = nn.LayerNorm()
+        self.layernorm = nn.LayerNorm(epsilon=1e-5)  # torch nn.LayerNorm default
         self.in_dropout = nn.Dropout(self.dropout_rate)
         self.encoder = [
             TransformerBlock(

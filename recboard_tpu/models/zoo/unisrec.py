@@ -81,12 +81,24 @@ class _PostLNBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, key_padding_mask, deterministic=True):
+        B, L = x.shape[0], x.shape[1]
         q = nn.Dense(self.dim, kernel_init=_init02, name="query")(x)
         k = nn.Dense(self.dim, kernel_init=_init02, name="key")(x)
         v = nn.Dense(self.dim, kernel_init=_init02, name="value")(x)
+        # reference semantics (UniSRec/main.py:249-257, modules.py:118-144):
+        # additive -1e4 mask (a fully-masked query row — e.g. a short
+        # sequence whose every item got random-masked — degrades to
+        # plain softmax over raw scores, not zeros) and dropout on the
+        # attention probabilities.
+        allowed = jnp.tril(
+            jnp.broadcast_to(~key_padding_mask[:, None, None, :], (B, 1, L, L))
+        )
+        add = jnp.where(allowed, 0.0, -1.0e4)
+        attn_dropout_active = self.attn_dropout_rate > 0.0 and not deterministic
         ctx = attn_ops.mha(
-            q, k, v, num_heads=self.num_heads, causal=True,
-            key_padding_mask=key_padding_mask,
+            q, k, v, num_heads=self.num_heads, causal=False, bias=add,
+            dropout_rate=self.attn_dropout_rate,
+            dropout_rng=self.make_rng("dropout") if attn_dropout_active else None,
         )
         h = nn.Dense(self.dim, kernel_init=_init02, name="dense")(ctx)
         h = nn.Dropout(self.hidden_dropout_rate)(h, deterministic=deterministic)

@@ -62,9 +62,16 @@ def mha_reference(
     key_padding_mask: Optional[jnp.ndarray] = None,
     bias: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """q/k/v: (B, L, D); key_padding_mask: (B, S) True = masked;
-    bias: broadcastable to (B, H, L, S). Returns (B, L, D)."""
+    bias: broadcastable to (B, H, L, S). Returns (B, L, D).
+
+    ``dropout_rate``/``dropout_rng``: inverted dropout on the attention
+    probabilities — torch ``nn.MultiheadAttention(dropout=p)`` semantics
+    (applied after softmax, before the PV matmul). Active only when a
+    rng is given."""
     B, L, D = q.shape
     S = k.shape[1]
     H = num_heads
@@ -89,6 +96,9 @@ def mha_reference(
     valid = scores > NEG_INF / 2
     probs = jax.nn.softmax(scores, axis=-1)
     probs = jnp.where(valid.any(axis=-1, keepdims=True), probs, 0.0)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhls,bhsd->bhld", probs, vh)
     return out.transpose(0, 2, 1, 3).reshape(B, L, D).astype(q.dtype)
 
@@ -187,20 +197,27 @@ def mha(
     key_padding_mask: Optional[jnp.ndarray] = None,
     bias: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Dispatch: Pallas on TPU where the shape profits (head dim a lane
     multiple, or long sequences where fusing QK/softmax/PV in VMEM
     beats XLA's scheduling); jnp reference elsewhere — at rec-model
     shapes (L≈50, hd=64) XLA's fusion already runs at parity, and the
-    kernel's lane padding would waste MXU work."""
+    kernel's lane padding would waste MXU work. Attention-prob dropout
+    (training) always takes the reference path."""
+    dropout_active = dropout_rate > 0.0 and dropout_rng is not None
     on_tpu = jax.default_backend() == "tpu"
     hd = q.shape[-1] // num_heads
     profitable = hd % 128 == 0 or q.shape[1] >= 256
-    if on_tpu and profitable and q.shape[-1] % num_heads == 0:
+    if on_tpu and profitable and q.shape[-1] % num_heads == 0 and not dropout_active:
         try:
             return mha_pallas(
                 q, k, v, num_heads, causal, key_padding_mask, bias, scale
             )
         except Exception:  # pragma: no cover — fall back on compile issues
             pass
-    return mha_reference(q, k, v, num_heads, causal, key_padding_mask, bias, scale)
+    return mha_reference(
+        q, k, v, num_heads, causal, key_padding_mask, bias, scale,
+        dropout_rate, dropout_rng,
+    )
