@@ -79,12 +79,24 @@ def match_partition_rules(
 
 
 def shard_params(mesh: Mesh, params: Any, specs: Any) -> Any:
-    """Place a host pytree onto the mesh according to its specs."""
-    return jax.tree.map(
-        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
-        params,
-        specs,
-    )
+    """Place a host pytree onto the mesh according to its specs.
+
+    An axis whose size does not divide the mesh axis falls back to
+    replication for that dimension (e.g. a vocab not divisible by
+    num_model_shards): GSPMD requires even sharding, and at serving/
+    training entry points an odd table is better replicated than
+    crashed on. Production tables should pad (tables.pad_vocab)."""
+
+    def place(leaf, spec):
+        fixed = tuple(
+            None
+            if axis is not None and np.shape(leaf)[i] % mesh.shape[axis] != 0
+            else axis
+            for i, axis in enumerate(tuple(spec))
+        )
+        return jax.device_put(leaf, NamedSharding(mesh, PartitionSpec(*fixed)))
+
+    return jax.tree.map(place, params, specs)
 
 
 def local_batch_slice(global_batch: int, mesh: Mesh) -> int:

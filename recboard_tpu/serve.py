@@ -17,6 +17,16 @@ stderr as a sanity check against the run's recorded metrics.
 Output: TSV ``user \t item_1 ... item_k`` (processed dense item ids, the
 id space of ``Processed/<name>/item.txt``), or with ``--with-scores``
 ``user \t item:score ...``.
+
+``--num-model-shards N`` serves from a (data, model) device mesh: params
+shard by the model's ``partition_rules()`` (big embedding tables by
+rows, parallel/mesh.py) and the one jitted scoring program runs under
+GSPMD — the path for catalogs exceeding single-chip HBM.
+
+``--bench`` skips the TSV and prints one JSON line of serving latency
+(p50/p95/p99 ms per batch and users/s, timed per dispatch — the honest
+serving regime, unlike training throughput which amortizes dispatch
+over scan chunks).
 """
 
 from __future__ import annotations
@@ -66,6 +76,10 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--retain-seen", action="store_true",
                     help="do not mask already-seen items")
     ap.add_argument("--with-scores", action="store_true")
+    ap.add_argument("--num-model-shards", type=int, default=1,
+                    help="shard params over a (data, model) mesh")
+    ap.add_argument("--bench", action="store_true",
+                    help="print one JSON serving-latency line, no TSV")
     args = ap.parse_args(argv)
 
     import jax
@@ -105,6 +119,16 @@ def main(argv: Optional[list] = None):
         raise SystemExit(f"no params pickle under {ckpt_dir} (tried {names})")
     params = jax.tree.map(jnp.asarray, payload["params"])
 
+    if args.num_model_shards > 1:
+        from .parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(args.num_model_shards)
+        specs = mesh_lib.match_partition_rules(model.partition_rules(), params)
+        params = mesh_lib.shard_params(mesh, params, specs)
+        utils.infoLogger(
+            f"[recommend] >>> params sharded over {mesh.shape} mesh"
+        )
+
     import inspect
 
     sig = inspect.signature(model.sure_trainpipe)
@@ -135,9 +159,7 @@ def main(argv: Optional[list] = None):
         vals, idx = jax.lax.top_k(scores, k)
         return vals, idx
 
-    out = sys.stdout if args.output == "-" else open(args.output, "w")
-    hits = total = 0
-    try:
+    def device_batches():
         for data in pipe:
             users = np.asarray(data[model.User]).reshape(-1)
             batch = {
@@ -158,6 +180,37 @@ def main(argv: Optional[list] = None):
                 if seen is not None
                 else np.full((len(users), 1), 2**30)
             )
+            yield users, batch, seen_ids, data
+
+    if args.bench:
+        import json
+        import time
+
+        staged = list(device_batches())
+        for users, batch, seen_ids, _ in staged:  # compile every bucket
+            jax.block_until_ready(score_topk(params, buffers, batch, seen_ids))
+        lat, n_users = [], 0
+        for users, batch, seen_ids, _ in staged:
+            t0 = time.perf_counter()
+            jax.block_until_ready(score_topk(params, buffers, batch, seen_ids))
+            lat.append(time.perf_counter() - t0)
+            n_users += len(users)
+        lat_ms = np.sort(np.asarray(lat)) * 1e3
+        pct = lambda p: float(np.percentile(lat_ms, p))
+        print(json.dumps({
+            "metric": "recommend_latency_ms",
+            "model": cfg.model, "topk": k, "batches": len(lat),
+            "batch_size": int(args.batch_size),
+            "p50": round(pct(50), 3), "p95": round(pct(95), 3),
+            "p99": round(pct(99), 3),
+            "users_per_s": round(n_users / float(np.sum(lat)), 1),
+        }))
+        return
+
+    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    hits = total = 0
+    try:
+        for users, batch, seen_ids, data in device_batches():
             vals, idx = score_topk(params, buffers, batch, seen_ids)
             vals, idx = np.asarray(vals), np.asarray(idx)
             targets = data.get(model.IUnseen)

@@ -46,3 +46,22 @@ def test_recommend_roundtrip(tiny_dataset, tmp_path, capsys):
     scores = [float(x.split(":")[1]) for x in first]
     assert scores == sorted(scores, reverse=True)
     assert best  # run returned its best metrics
+
+    # sharded serving: params over the (data, model) mesh must emit the
+    # SAME top-k lists as the single-device path
+    out3 = tmp_path / "recs_sharded.tsv"
+    serve.main([
+        "--run", str(run_dirs[-1]), "--topk", "7",
+        "--num-model-shards", "4", "--output", str(out3),
+    ])
+    assert out3.read_text() == out.read_text()
+
+    # bench mode: one JSON latency line, no TSV
+    serve.main(["--run", str(run_dirs[-1]), "--bench", "--topk", "7"])
+    import json
+
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    stats = json.loads(line)
+    assert stats["metric"] == "recommend_latency_ms"
+    assert stats["p50"] <= stats["p95"] <= stats["p99"]
+    assert stats["users_per_s"] > 0
