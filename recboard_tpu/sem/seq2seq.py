@@ -132,8 +132,9 @@ class EncoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, bias, deterministic=True):
+        n = RMSNorm()(x)  # ONE pre-norm shared by q and kv, as in T5
         h = MultiHeadAttn(self.dim, self.num_heads, self.dropout, self.head_dim)(
-            RMSNorm()(x), RMSNorm()(x), mask, bias, deterministic
+            n, n, mask, bias, deterministic
         )
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = FFN(self.dim, self.ffn_dim, self.dropout)(
@@ -151,14 +152,17 @@ class DecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, enc, self_mask, cross_mask, bias, deterministic=True):
+        n = RMSNorm()(x)  # ONE pre-norm shared by q and kv, as in T5
         h = MultiHeadAttn(self.dim, self.num_heads, self.dropout, self.head_dim,
                           name="self_attn")(
-            RMSNorm()(x), RMSNorm()(x), self_mask, bias, deterministic
+            n, n, self_mask, bias, deterministic
         )
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        # T5 cross-attention normalizes the decoder stream only; the
+        # encoder output arrives already final-layer-normed
         h = MultiHeadAttn(self.dim, self.num_heads, self.dropout, self.head_dim,
                           name="cross_attn")(
-            RMSNorm()(x), RMSNorm()(enc), cross_mask, None, deterministic
+            RMSNorm()(x), enc, cross_mask, None, deterministic
         )
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = FFN(self.dim, self.ffn_dim, self.dropout)(
