@@ -90,12 +90,16 @@ class DistSelfAttention(nn.Module):
         mean_ctx = mean_ctx.transpose(0, 2, 1, 3).reshape(B, L, D)
         cov_ctx = cov_ctx.transpose(0, 2, 1, 3).reshape(B, L, D)
 
+        # the reference uses ONE LayerNorm module for BOTH residual
+        # streams (STOSA/modules.py:141,181-187 — self.LayerNorm applied
+        # to mean and cov alike), so the scale/bias are shared params
+        ln = nn.LayerNorm(epsilon=1e-12, name="ln")
         mh = nn.Dense(D, kernel_init=_init_mean001, name="mean_dense")(mean_ctx)
         mh = nn.Dropout(self.hidden_dropout_rate)(mh, deterministic=deterministic)
-        mh = nn.LayerNorm(epsilon=1e-12, name="ln")(mh + mean_x)
+        mh = ln(mh + mean_x)
         ch = nn.Dense(D, kernel_init=_init_mean001, name="cov_dense")(cov_ctx)
         ch = nn.Dropout(self.hidden_dropout_rate)(ch, deterministic=deterministic)
-        ch = nn.LayerNorm(epsilon=1e-12, name="ln2")(ch + cov_x)
+        ch = ln(ch + cov_x)
         return mh, ch
 
 
