@@ -54,15 +54,20 @@ class EarlyStopError(Exception):
 
 
 class TrainState:
-    """Minimal functional train state (params, opt_state, step)."""
+    """Minimal functional train state (params, opt_state, step, stats).
 
-    def __init__(self, params, opt_state, step=0):
+    ``stats`` holds non-param variable collections (``batch_stats`` for
+    BatchNorm running averages — DeepFM/DCN with ``batch_norm: True``,
+    the reference's Criteo/Frappe configs). Empty for everything else."""
+
+    def __init__(self, params, opt_state, step=0, stats=None):
         self.params = params
         self.opt_state = opt_state
         self.step = step
+        self.stats = {} if stats is None else stats
 
     def tree_flatten(self):
-        return (self.params, self.opt_state, self.step), None
+        return (self.params, self.opt_state, self.step, self.stats), None
 
     @classmethod
     def tree_unflatten(cls, _, leaves):
@@ -272,12 +277,14 @@ class Coach:
             {"params": init_rng, "dropout": drop_rng, "sampling": drop_rng}, arrays
         )
         params = variables["params"]
+        # non-param collections (BatchNorm running stats) ride TrainState
+        stats = {k: v for k, v in variables.items() if k != "params"}
         rules = self.model.partition_rules()
         specs = mesh_lib.match_partition_rules(rules, params)
         if int(self.cfg.get("num_model_shards", 1)) > 1:
             params = mesh_lib.shard_params(self.mesh, params, specs)
         opt_state = self.optimizer.init(params)
-        self.state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32))
+        self.state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32), stats)
         n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
         utils.infoLogger(f"[Coach] >>> model initialized: {n_params:,} params")
 
@@ -311,14 +318,68 @@ class Coach:
         )
         return loss, logs
 
+    def loss_of_with_stats(self, params, stats, batch, rng):
+        """Stats-aware loss: mutable non-param collections (BatchNorm
+        running averages) update inside the step and thread back out as
+        part of the aux. Used instead of ``loss_of`` whenever the model
+        initialized any non-param collection."""
+        (loss, logs), new_stats = self.model.apply(
+            {"params": self.cast_compute(params), **stats},
+            batch,
+            method="fit",
+            rngs={"dropout": rng, "sampling": jax.random.fold_in(rng, 1)},
+            mutable=list(stats.keys()),
+        )
+        return loss, (logs, new_stats)
+
     def _make_train_step(self):
         accum = max(1, int(self.cfg.get("gradient_accumulation_steps", 1)))
+        has_stats = bool(jax.tree.leaves(self.state.stats)) if self.state else False
 
         def step(state: TrainState, batch, rng):
+            new_stats = state.stats
+
             def loss_fn(params):
                 return self.loss_of(params, batch, rng)
 
-            if accum == 1:
+            if has_stats and accum == 1:
+                def loss_fn_stats(params):
+                    return self.loss_of_with_stats(params, state.stats, batch, rng)
+
+                (loss, (logs, new_stats)), grads = jax.value_and_grad(
+                    loss_fn_stats, has_aux=True
+                )(state.params)
+            elif has_stats:
+                # microbatch scan, stats threaded sequentially through
+                # the carry (each microbatch updates the running stats,
+                # exactly like accum sequential forward passes would)
+                def micro_stats(carry, mb):
+                    grads_acc, loss_sum, stats = carry
+
+                    def fn(params):
+                        return self.loss_of_with_stats(params, stats, mb, rng)
+
+                    (l, (lg, stats)), g = jax.value_and_grad(fn, has_aux=True)(
+                        state.params
+                    )
+                    return (
+                        jax.tree.map(jnp.add, grads_acc, g),
+                        loss_sum + l,
+                        stats,
+                    ), lg
+
+                split = jax.tree.map(
+                    lambda x: x.reshape(accum, x.shape[0] // accum, *x.shape[1:]),
+                    batch,
+                )
+                zeros = jax.tree.map(jnp.zeros_like, state.params)
+                (grads, loss, new_stats), logs = jax.lax.scan(
+                    micro_stats, (zeros, 0.0, state.stats), split
+                )
+                grads = jax.tree.map(lambda g: g / accum, grads)
+                loss = loss / accum
+                logs = jax.tree.map(lambda x: x.mean(), logs)
+            elif accum == 1:
                 (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     state.params
                 )
@@ -349,7 +410,11 @@ class Coach:
                 grads, state.opt_state, state.params
             )
             params = optax.apply_updates(state.params, updates)
-            return TrainState(params, opt_state, state.step + 1), loss, logs
+            return (
+                TrainState(params, opt_state, state.step + 1, new_stats),
+                loss,
+                logs,
+            )
 
         return jax.jit(step, donate_argnums=0)
 
@@ -388,23 +453,39 @@ class Coach:
         key = ("device_step",)
         if key not in self._jit_cache:
 
+            has_stats = bool(jax.tree.leaves(self.state.stats))
+
             def step(state, epoch_key, step_idx, base_rng):
                 batch = sampler.sample(epoch_key, step_idx)
                 # derive the step rng ON DEVICE — a host-side split per
                 # step would serialize on the dispatch round-trip
                 rng = jax.random.fold_in(base_rng, state.step)
+                new_stats = state.stats
 
-                def loss_fn(params):
-                    return self.loss_of(params, batch, rng)
+                if has_stats:
+                    def loss_fn_stats(params):
+                        return self.loss_of_with_stats(
+                            params, state.stats, batch, rng
+                        )
 
-                (loss, logs), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(state.params)
+                    (loss, (logs, new_stats)), grads = jax.value_and_grad(
+                        loss_fn_stats, has_aux=True
+                    )(state.params)
+                else:
+                    def loss_fn(params):
+                        return self.loss_of(params, batch, rng)
+
+                    (loss, logs), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(state.params)
                 updates, opt_state = self.optimizer.update(
                     grads, state.opt_state, state.params
                 )
                 params = optax.apply_updates(state.params, updates)
-                return TrainState(params, opt_state, state.step + 1), loss
+                return (
+                    TrainState(params, opt_state, state.step + 1, new_stats),
+                    loss,
+                )
 
             self._jit_cache[key] = jax.jit(step, donate_argnums=0)
         step_fn = self._jit_cache[key]
@@ -517,13 +598,13 @@ class Coach:
             )
             static_marks = dict(marks)
 
-            def step(params, buffers, batch, seen_ids, target_ids, valid_rows):
+            def step(params, stats, buffers, batch, seen_ids, target_ids, valid_rows):
                 method = (
                     "recommend_from_full" if ranking == "full" else "recommend_from_pool"
                 )
                 batch = {**batch, **static_marks}
                 scores = model.apply(
-                    {"params": self.cast_compute(params)},
+                    {"params": self.cast_compute(params), **stats},
                     batch,
                     buffers,
                     method=method,
@@ -551,7 +632,7 @@ class Coach:
             return
         pipe.set_seed(int(self.cfg.seed))
         buffers = self.model.apply(
-            {"params": self.cast_compute(self.state.params)},
+            {"params": self.cast_compute(self.state.params), **self.state.stats},
             method="reset_ranking_buffers",
         )
         pool = [
@@ -589,7 +670,8 @@ class Coach:
         for marks, batch, seen_ids, target_ids, valid_rows, B in cached:
             fn = self._eval_step_fn(self.ranking, marks)
             sums = fn(
-                self.state.params, buffers, batch, seen_ids, target_ids, valid_rows
+                self.state.params, self.state.stats, buffers, batch,
+                seen_ids, target_ids, valid_rows,
             )
             pending.append((marks, B, sums))
         # one bulk device→host fetch for every batch's metric sums
@@ -618,9 +700,9 @@ class Coach:
         Label = model.Label
         key = ("pred_eval",)
         if key not in self._jit_cache:
-            def step(params, batch):
+            def step(params, stats, batch):
                 return self.model.apply(
-                    {"params": self.cast_compute(params)},
+                    {"params": self.cast_compute(params), **stats},
                     batch,
                     None,
                     method="recommend_from_pool",
@@ -634,7 +716,7 @@ class Coach:
                 for f, v in data.items()
                 if _is_array(v) and f != Size
             }
-            out = self._jit_cache[key](self.state.params, batch)
+            out = self._jit_cache[key](self.state.params, self.state.stats, batch)
             preds.append(np.asarray(out).reshape(-1))
             labels.append(np.asarray(data[Label]).reshape(-1))
         preds = np.concatenate(preds)
@@ -676,6 +758,7 @@ class Coach:
             "params": jax.tree.map(np.asarray, self.state.params),
             "opt_state": jax.tree.map(np.asarray, self.state.opt_state),
             "step": int(self.state.step),
+            "stats": jax.tree.map(np.asarray, self.state.stats),
         }
 
     def _load_state_dict(self, payload: Dict[str, Any]) -> None:
@@ -693,8 +776,9 @@ class Coach:
             opt_state = jax.tree.map(jnp.asarray, payload["opt_state"])
         else:
             opt_state = self.optimizer.init(params)
+        stats = jax.tree.map(jnp.asarray, payload.get("stats") or {})
         self.state = TrainState(
-            params, opt_state, jnp.asarray(payload.get("step", 0), jnp.int32)
+            params, opt_state, jnp.asarray(payload.get("step", 0), jnp.int32), stats
         )
 
     @dist.main_process_only
@@ -704,10 +788,10 @@ class Coach:
         filename = filename or (
             self.cfg.BEST_FILENAME if best else self.cfg.SAVED_FILENAME
         )
-        utils.export_pickle(
-            {"params": jax.tree.map(np.asarray, self.state.params)},
-            os.path.join(path, filename),
-        )
+        payload = {"params": jax.tree.map(np.asarray, self.state.params)}
+        if jax.tree.leaves(self.state.stats):
+            payload["stats"] = jax.tree.map(np.asarray, self.state.stats)
+        utils.export_pickle(payload, os.path.join(path, filename))
 
     def save_best(self) -> None:
         if self.state is not None:
@@ -726,7 +810,10 @@ class Coach:
             self.state.opt_state if self.state else self.optimizer.init(params)
         )
         step = self.state.step if self.state else jnp.asarray(0, jnp.int32)
-        self.state = TrainState(params, opt_state, step)
+        stats = jax.tree.map(jnp.asarray, payload.get("stats") or {})
+        if not jax.tree.leaves(stats) and self.state is not None:
+            stats = self.state.stats
+        self.state = TrainState(params, opt_state, step, stats)
         dist.synchronize()
 
     def load_best(self) -> None:

@@ -34,7 +34,7 @@ class BERT4Rec(SeqRecArch):
     MASKING_VALUE: int = 1
 
     maxlen: int = 50
-    num_heads: int = 2
+    num_heads: int = 4
     num_blocks: int = 2
     embedding_dim: int = 64
     dropout_rate: float = 0.2

@@ -25,7 +25,7 @@ from . import register
 
 @register("Caser")
 class Caser(SeqRecArch):
-    maxlen: int = 50
+    maxlen: int = 5
     embedding_dim: int = 64
     num_vert: int = 4
     num_horiz: int = 16

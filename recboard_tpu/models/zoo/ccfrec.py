@@ -128,14 +128,14 @@ class CCFRec(SeqRecArch):
     maxlen: int = 50
     embedding_dim: int = 64
     hidden_size: int = 256
-    num_heads: int = 2
+    num_heads: int = 1
     num_qformer_blocks: int = 2
     num_encoder_blocks: int = 2
-    qformer_dropout_rate: float = 0.1
-    encoder_dropout_rate: float = 0.1
-    num_negs: int = 128
+    qformer_dropout_rate: float = 0.3
+    encoder_dropout_rate: float = 0.5
+    num_negs: int = 49
     tau: float = 0.07
-    mask_ratio: float = 0.2
+    mask_ratio: float = 0.5
     weight4mlm: float = 0.1
     weight4cl: float = 0.1
 

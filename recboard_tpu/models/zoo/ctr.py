@@ -69,9 +69,9 @@ class _PredBase(PredRecArch):
 
 @register("DeepFM")
 class DeepFM(_PredBase):
-    embedding_dim: int = 16
+    embedding_dim: int = 10
     hidden_dims: Tuple[int, ...] = (400, 400, 400)
-    hidden_dropout_rate: float = 0.2
+    hidden_dropout_rate: float = 0.1
     batch_norm: bool = False
 
     def setup(self):
@@ -80,6 +80,13 @@ class DeepFM(_PredBase):
         self.lr_bias = self.param("lr_bias", nn.initializers.zeros, (1,))
         self.dnn_layers = [
             nn.Dense(h, kernel_init=xavier_normal) for h in self.hidden_dims
+        ]
+        # reference MLPBlock: linear -> BatchNorm -> ReLU -> dropout
+        # (DeepFM/main.py:104-120; batch_norm: True in both BARS configs).
+        # torch BatchNorm1d defaults: eps 1e-5, momentum 0.1 (= flax 0.9).
+        self.dnn_norms = [
+            nn.BatchNorm(momentum=0.9, epsilon=1e-5) if self.batch_norm else None
+            for _ in self.hidden_dims
         ]
         self.dnn_out = nn.Dense(1, kernel_init=xavier_normal)
         self.dropout = nn.Dropout(self.hidden_dropout_rate)
@@ -93,8 +100,11 @@ class DeepFM(_PredBase):
         fm = 0.5 * (sum_sq - sq_sum).sum(axis=-1)  # (B,)
         # DNN on flattened embeddings
         h = x.reshape(x.shape[0], -1)
-        for layer in self.dnn_layers:
-            h = nn.relu(layer(h))
+        for layer, norm in zip(self.dnn_layers, self.dnn_norms):
+            h = layer(h)
+            if norm is not None:
+                h = norm(h, use_running_average=deterministic)
+            h = nn.relu(h)
             h = self.dropout(h, deterministic=deterministic)
         dnn = self.dnn_out(h)[:, 0]
         return lr + fm + dnn
@@ -111,10 +121,10 @@ class DeepFM(_PredBase):
 
 @register("DCN")
 class DCN(_PredBase):
-    embedding_dim: int = 16
+    embedding_dim: int = 4
     hidden_dims: Tuple[int, ...] = (400, 400, 400)
     num_layers: int = 3
-    hidden_dropout_rate: float = 0.2
+    hidden_dropout_rate: float = 0.0
     batch_norm: bool = False
 
     def setup(self):
@@ -131,6 +141,12 @@ class DCN(_PredBase):
         self.dnn_layers = [
             nn.Dense(h, kernel_init=xavier_normal) for h in self.hidden_dims
         ]
+        # DCN/main.py:50-70 MLPBlock: linear -> BatchNorm -> ReLU ->
+        # dropout (batch_norm: True in the Frappe BARS config)
+        self.dnn_norms = [
+            nn.BatchNorm(momentum=0.9, epsilon=1e-5) if self.batch_norm else None
+            for _ in self.hidden_dims
+        ]
         self.fc = nn.Dense(1, kernel_init=xavier_normal)
         self.dropout = nn.Dropout(self.hidden_dropout_rate)
 
@@ -142,8 +158,11 @@ class DCN(_PredBase):
         for w, b in zip(self.cross_ws, self.cross_bs):
             xi = w(xi) * x0 + b
         h = x0
-        for layer in self.dnn_layers:
-            h = nn.relu(layer(h))
+        for layer, norm in zip(self.dnn_layers, self.dnn_norms):
+            h = layer(h)
+            if norm is not None:
+                h = norm(h, use_running_average=deterministic)
+            h = nn.relu(h)
             h = self.dropout(h, deterministic=deterministic)
         return self.fc(jnp.concatenate([h, xi], axis=-1))[:, 0]
 

@@ -27,12 +27,15 @@ from .etegrec import ETEGRec, ETEGRecCoach
 
 @register("DIGER")
 class DIGER(ETEGRec):
+    # DIGER/main.py defaults where they differ from ETEGRec's
+    num_codewords: int = 512
+    dropout_rate: float = 0.0
     tokenizer_estimator: str = "gumbel"
     code_loss_weight: float = 1.0
     recon_loss_weight: float = 1.0
     vq_loss_weight: float = 1.0
-    sigma_lambda: float = 0.05
-    gumbel_tau: float = 1.0
+    sigma_lambda: float = 0.5
+    gumbel_tau: float = 2.0
 
     def setup(self):
         super().setup()

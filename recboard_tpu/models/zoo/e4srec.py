@@ -89,7 +89,7 @@ class E4SRec(SeqRecArch):
     backbone_dim: int = 128
     num_blocks: int = 2
     num_heads: int = 4
-    lora_rank: int = 8
+    lora_rank: int = 16
     num_prompt_tokens: int = 4  # instruction sandwich length
     num_response_tokens: int = 2
 

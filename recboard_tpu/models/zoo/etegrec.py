@@ -73,18 +73,18 @@ class ETEGRec(SeqRecArch):
     maxlen: int = 20
     num_codebooks: int = 3
     num_codewords: int = 256
-    codebook_dim: int = 32
-    hidden_dims: Tuple[int, ...] = (128,)
+    codebook_dim: int = 128
+    hidden_dims: Tuple[int, ...] = (512, 256)
     commit_weight: float = 0.25
     embedding_dim: int = 128
     num_heads: int = 4
-    num_layers: int = 2
-    num_decoder_layers: int = 2
+    num_layers: int = 6
+    num_decoder_layers: int = 6
     ffn_dim: int = 512  # T5 d_ff (ETEGRec/train_etegrec.py:42)
     head_dim: int = 64  # T5 d_kv (ETEGRec/train_etegrec.py:41)
     dropout_rate: float = 0.1
     remat: bool = False  # rematerialize seq2seq blocks (large-batch HBM)
-    num_beams: int = 10
+    num_beams: int = 20
     temperature: float = 0.07
     kl_weight: float = 1e-3
     dec_cl_weight: float = 1e-3

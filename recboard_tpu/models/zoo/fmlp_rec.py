@@ -62,7 +62,7 @@ class FMLPRec(SeqRecArch):
     maxlen: int = 50
     embedding_dim: int = 64
     num_blocks: int = 2
-    hidden_dropout_rate: float = 0.2
+    hidden_dropout_rate: float = 0.5
     loss: str = "BPR"
 
     def setup(self):

@@ -56,13 +56,13 @@ class LinearAttention(nn.Module):
 @register("GLINT-RU")
 class GLINTRU(SeqRecArch):
     maxlen: int = 50
-    embedding_dim: int = 64
-    hidden_size: int = 64
-    num_heads: int = 2
+    embedding_dim: int = 128
+    hidden_size: int = 128
+    num_heads: int = 8
     num_layers: int = 1
-    emb_dropout_rate: float = 0.5
-    hidden_dropout_rate: float = 0.5
-    attn_dropout_rate: float = 0.5
+    emb_dropout_rate: float = 0.0
+    hidden_dropout_rate: float = 0.2
+    attn_dropout_rate: float = 0.2
     layer_norm_eps: float = 1e-12
     loss: str = "BCE"
 

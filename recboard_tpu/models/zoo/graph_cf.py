@@ -222,10 +222,10 @@ class SimGCL(_GraphRecBase):
 
     embedding_dim: int = 64
     num_layers: int = 3
-    eps: float = 0.1
+    eps: float = 0.2
     temperature: float = 0.2
     weight_decay: float = 1e-4
-    ssl_weight: float = 0.1
+    ssl_weight: float = 0.2
     adj: Optional[SparseAdj] = None
 
     def setup(self):
@@ -413,7 +413,7 @@ class GTE(_GraphRecBase):
     user embds start at 0 (U×I), item embds at identity (I×I);
     K residual bipartite propagations; no parameters, epochs=0."""
 
-    num_layers: int = 2
+    num_layers: int = 3
     adj: Optional[SparseAdj] = None  # unnormalized U→I incidence R
 
     @classmethod

@@ -302,13 +302,15 @@ class SimpleX(_GraphRecBase):
     cosine-contrastive loss with margin and negative weight
     (SimpleX/main.py:36-175)."""
 
+    # defaults mirror the reference CLI defaults (SimpleX/main.py:14-20;
+    # its Yelp quality config overrides gamma=.5, weight=100)
     embedding_dim: int = 64
-    gamma: float = 0.5
+    gamma: float = 1.0
     margin: float = 0.9
     weight_for_negative: float = 150.0
-    num_negs: int = 100
+    num_negs: int = 1000
     dropout_rate: float = 0.1
-    unseen_only: bool = True
+    unseen_only: bool = False
     adj: Optional[SparseAdj] = None  # left-normalized U→I mean operator
 
     @classmethod
@@ -469,7 +471,7 @@ class CAGCN(_GraphRecBase):
     embedding_dim: int = 64
     num_layers: int = 3
     weight_decay: float = 1e-4
-    trend_coeff: float = 1.0
+    trend_coeff: float = 2.0
     adj: Optional[SparseAdj] = None  # prebuilt trend-reweighted adjacency
 
     @classmethod

@@ -200,7 +200,7 @@ class AttnReadout(nn.Module):
 class LESSR(SeqRecArch):
     maxlen: int = 50
     embedding_dim: int = 64
-    num_layers: int = 2
+    num_layers: int = 3
     dropout_rate: float = 0.2
     batch_norm: bool = True
 

@@ -321,7 +321,7 @@ class FREEDOM(_MMBase):
     num_ii_layers: int = 1
     knn_k: int = 10
     weight4mAdj: float = 0.1  # visual weight in the fused kNN graph
-    sampling_ratio: float = 0.8
+    sampling_ratio: float = 0.2
     mod_weight: float = 0.01  # weight of the modality BPR heads
     weight_decay: float = 1e-4
     adj: Optional[SparseAdj] = None  # full sym-normalized (eval)
@@ -465,10 +465,10 @@ class BM3(_MMBase):
     (BM3/main.py:51-220)."""
 
     embedding_dim: int = 64
-    num_layers: int = 2
+    num_layers: int = 3
     dropout_rate: float = 0.5
     reg_weight: float = 0.1
-    second_l: float = 1.0  # weight of the modality losses
+    second_l: float = 2.0  # weight of the modality losses
     adj: Optional[SparseAdj] = None
     vfeats: Optional[Array] = None
     tfeats: Optional[Array] = None

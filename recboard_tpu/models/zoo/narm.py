@@ -25,8 +25,8 @@ class NARM(SeqRecArch):
     maxlen: int = 50
     embedding_dim: int = 64
     hidden_size: int = 128
-    emb_dropout_rate: float = 0.25
-    hidden_dropout_rate: float = 0.25
+    emb_dropout_rate: float = 0.2
+    hidden_dropout_rate: float = 0.0
     ct_dropout_rate: float = 0.5
     num_blocks: int = 1
 

@@ -25,7 +25,7 @@ from . import register
 
 @register("NeuMF")
 class NeuMF(GenRecArch):
-    embedding_dim: int = 8
+    embedding_dim: int = 64
     hidden_dims: Tuple[int, ...] = (64, 32, 16)
     num_negs: int = 4
     item_chunk: int = 2048

@@ -147,7 +147,7 @@ class STOSA(SeqRecArch):
     maxlen: int = 50
     num_heads: int = 4
     num_blocks: int = 1
-    embedding_dim: int = 128
+    embedding_dim: int = 64
     hidden_dropout_rate: float = 0.3
     attn_dropout_rate: float = 0.0
     pvn_weight: float = 0.005

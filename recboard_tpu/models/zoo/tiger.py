@@ -231,9 +231,9 @@ class TIGER(SeqRecArch):
     maxlen: int = 20
     num_beams: int = 20
     embedding_dim: int = 128
-    num_heads: int = 6
-    num_encoder_layers: int = 4
-    num_decoder_layers: int = 4
+    num_heads: int = 4
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
     ffn_dim: int = 256  # T5 d_ff = 4*d_kv (TIGER/train_t5.py:22)
     head_dim: int = 64  # T5 d_kv (TIGER/train_t5.py:21)
     dropout_rate: float = 0.1

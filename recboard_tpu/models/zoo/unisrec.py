@@ -116,11 +116,11 @@ class UniSRec(SeqRecArch):
     tfeats: Optional[Dict[str, np.ndarray]] = None  # per-dataset text feats
     maxlen: int = 50
     embedding_dim: int = 64
-    num_heads: int = 2
+    num_heads: int = 1
     num_blocks: int = 2
     num_moe_experts: int = 8
-    hidden_dropout_rate: float = 0.3
-    attn_dropout_rate: float = 0.3
+    hidden_dropout_rate: float = 0.2
+    attn_dropout_rate: float = 0.2
     adaptor_dropout_rate: float = 0.2
     mask_ratio: float = 0.2
     T: float = 0.07

@@ -118,6 +118,8 @@ def main(argv: Optional[list] = None):
     if payload is None:
         raise SystemExit(f"no params pickle under {ckpt_dir} (tried {names})")
     params = jax.tree.map(jnp.asarray, payload["params"])
+    # non-param collections (BatchNorm running stats) ride beside params
+    stats = jax.tree.map(jnp.asarray, payload.get("stats") or {})
 
     if args.num_model_shards > 1:
         from .parallel import mesh as mesh_lib
@@ -143,7 +145,9 @@ def main(argv: Optional[list] = None):
     if hasattr(pipe, "set_seed"):
         pipe.set_seed(int(cfg.get("seed", 0)))
 
-    buffers = model.apply({"params": params}, method="reset_ranking_buffers")
+    buffers = model.apply(
+        {"params": params, **stats}, method="reset_ranking_buffers"
+    )
 
     k = int(args.topk)
     mask_seen = not args.retain_seen
@@ -151,7 +155,8 @@ def main(argv: Optional[list] = None):
     @jax.jit
     def score_topk(params, buffers, batch, seen_ids):
         scores = model.apply(
-            {"params": params}, batch, buffers, method="recommend_from_full"
+            {"params": params, **stats}, batch, buffers,
+            method="recommend_from_full",
         )
         if mask_seen:
             rows = jnp.arange(scores.shape[0])[:, None]

@@ -70,3 +70,58 @@ def test_ctr_model_trains_and_aucs(ctr_dataset, name, tmp_path):
     best = coach.fit()
     assert best.get("AUC", 0) > 0.62  # learnable structure → well above chance
     assert best.get("LOGLOSS", 10) < 0.75
+
+
+@pytest.mark.parametrize("name", ["DeepFM", "DCN"])
+def test_ctr_batch_norm_trains_and_checkpoints(ctr_dataset, name, tmp_path):
+    """batch_norm=True (the reference's Criteo/Frappe BARS configs):
+    BatchNorm running stats thread through the Coach as a mutable
+    collection, update during training, drive eval, and survive the
+    save/load roundtrip."""
+    import jax
+
+    from recboard_tpu.launcher import Coach
+    from recboard_tpu.models.zoo import REGISTRY
+    from recboard_tpu.parser import Parser
+
+    p = Parser()
+    p.set_defaults(
+        description=name, root=str(tmp_path), dataset="SynCTR",
+        tasktag="PREDICTION", ranking="pool", epochs=4, batch_size=256,
+        lr=1e-2, eval_freq=2, log2file=False, log2console=False,
+        log_path=os.path.join(str(tmp_path), "logs"),
+        checkpoint_path=os.path.join(str(tmp_path), "infos"),
+        monitors=["LOSS", "AUC", "LOGLOSS"], which4best="AUC", seed=0,
+    )
+    cfg = p.compile([])
+    model = REGISTRY[name](
+        ctr_dataset, embedding_dim=8, hidden_dims=(32, 16),
+        hidden_dropout_rate=0.0, batch_norm=True,
+    )
+    coach = Coach(
+        dataset=ctr_dataset,
+        trainpipe=model.sure_trainpipe(cfg.batch_size),
+        validpipe=model.sure_validpipe(batch_size=512),
+        testpipe=model.sure_testpipe(batch_size=512),
+        model=model,
+        cfg=cfg,
+    )
+    best = coach.fit()
+    assert best.get("AUC", 0) > 0.6
+
+    stats = coach.state.stats
+    assert "batch_stats" in stats and jax.tree.leaves(stats["batch_stats"])
+    # running stats actually moved off their init (mean 0 / var 1)
+    means = jax.tree.leaves(
+        {k: v for k, v in stats["batch_stats"].items()}
+    )
+    assert any(float(abs(np.asarray(m)).max()) > 1e-3 for m in means)
+
+    # save/load roundtrip preserves the running stats
+    coach.save("bn_test.pkl")
+    before = jax.tree.map(np.asarray, stats)
+    coach.state = None
+    coach.load(filename="bn_test.pkl")
+    after = jax.tree.map(np.asarray, coach.state.stats)
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
