@@ -7,6 +7,7 @@ import functools
 from typing import Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops import attention as attn_ops
@@ -129,6 +130,43 @@ class TransformerBlock(nn.Module):
         h = nn.Dense(self.embedding_dim, kernel_init=xavier_normal)(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-5)(x + h)
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm1d with EXACT torch semantics (DeepFM/DCN `batch_norm`,
+    LESSR): normalization uses the biased batch variance; the running
+    variance stores the UNBIASED one (torch multiplies by n/(n-1) before
+    the EMA — flax's nn.BatchNorm stores the biased variance, a real if
+    small numerics difference at eval). ``momentum`` follows the torch
+    convention (new = (1-m)·old + m·batch, default 0.1).
+    Pinned by tests/test_crosscheck_ctr.py."""
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool = True):
+        D = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (D,))
+        bias = self.param("bias", nn.initializers.zeros, (D,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(D, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(D, jnp.float32)
+        )
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            reduce_axes = tuple(range(x.ndim - 1))
+            mean = x.mean(axis=reduce_axes)
+            var = jnp.square(x - mean).mean(axis=reduce_axes)
+            if not self.is_initializing():
+                n = x.size // D
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * var * n / max(n - 1, 1)
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
 
 
 class MLP(nn.Module):

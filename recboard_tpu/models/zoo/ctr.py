@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ... import criterions
 from ...data.tags import EMBED, LABEL, SPARSE
 from ..base import Batch, PredRecArch
-from ..modules import xavier_normal
+from ..modules import TorchBatchNorm, xavier_normal
 from . import register
 
 _emb_init = nn.initializers.normal(stddev=1e-4)
@@ -82,10 +82,9 @@ class DeepFM(_PredBase):
             nn.Dense(h, kernel_init=xavier_normal) for h in self.hidden_dims
         ]
         # reference MLPBlock: linear -> BatchNorm -> ReLU -> dropout
-        # (DeepFM/main.py:104-120; batch_norm: True in both BARS configs).
-        # torch BatchNorm1d defaults: eps 1e-5, momentum 0.1 (= flax 0.9).
+        # (DeepFM/main.py:104-120; batch_norm: True in both BARS configs)
         self.dnn_norms = [
-            nn.BatchNorm(momentum=0.9, epsilon=1e-5) if self.batch_norm else None
+            TorchBatchNorm() if self.batch_norm else None
             for _ in self.hidden_dims
         ]
         self.dnn_out = nn.Dense(1, kernel_init=xavier_normal)
@@ -144,7 +143,7 @@ class DCN(_PredBase):
         # DCN/main.py:50-70 MLPBlock: linear -> BatchNorm -> ReLU ->
         # dropout (batch_norm: True in the Frappe BARS config)
         self.dnn_norms = [
-            nn.BatchNorm(momentum=0.9, epsilon=1e-5) if self.batch_norm else None
+            TorchBatchNorm() if self.batch_norm else None
             for _ in self.hidden_dims
         ]
         self.fc = nn.Dense(1, kernel_init=xavier_normal)
