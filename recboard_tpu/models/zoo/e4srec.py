@@ -15,8 +15,10 @@ protocol (what is frozen vs trained, the prompt sandwich, the output
 head). Loading real pretrained weights is a parameter-injection away
 (the backbone params are an ordinary flax pytree).
 
-Quantized (8-bit) inference is optional scope per SURVEY.md §2.1; the
-LoRA math here runs in full precision.
+``eight_bit=True`` stores the frozen attention weights as int8 +
+per-channel scales (the bitsandbytes ``load_in_8bit`` analogue,
+SURVEY.md §2.1) in the non-param ``quant`` collection; LoRA math stays
+full precision, exactly like peft-over-8bit.
 """
 
 from __future__ import annotations
@@ -36,18 +38,39 @@ _init02 = nn.initializers.normal(stddev=0.02)
 
 
 class LoRADense(nn.Module):
-    """Frozen base Dense + trainable low-rank update (peft-style)."""
+    """Frozen base Dense + trainable low-rank update (peft-style).
+
+    ``eight_bit=True`` is the bitsandbytes-``load_in_8bit`` analogue
+    (E4SRec/main.py:44-61): the frozen base weight is STORED as int8
+    with one f32 scale per output channel in the non-param ``quant``
+    collection (rides TrainState.stats — the optimizer never sees it,
+    checkpoints carry it), and is dequantized on use. The per-column
+    scale factors out of the matmul exactly, so the compute is one MXU
+    matmul on the int8→float cast plus a columnwise rescale — no
+    gather/unpack kernels needed on TPU."""
 
     features: int
     rank: int = 8
     alpha: float = 16.0
+    eight_bit: bool = False
 
     @nn.compact
     def __call__(self, x):
-        base = self.param("base_kernel", _init02, (x.shape[-1], self.features))
         A = self.param("lora_A", nn.initializers.normal(0.01), (x.shape[-1], self.rank))
         B = self.param("lora_B", nn.initializers.zeros, (self.rank, self.features))
-        y = x @ jax.lax.stop_gradient(base)  # frozen pretrained weight
+        if self.eight_bit:
+            def init_q():
+                w = _init02(self.make_rng("params"), (x.shape[-1], self.features))
+                s = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-12)
+                return {
+                    "q8": jnp.round(w / s).astype(jnp.int8),
+                    "scale": s.astype(jnp.float32),
+                }
+            q = self.variable("quant", "base_kernel", init_q).value
+            y = (x @ q["q8"].astype(x.dtype)) * q["scale"].astype(x.dtype)
+        else:
+            base = self.param("base_kernel", _init02, (x.shape[-1], self.features))
+            y = x @ jax.lax.stop_gradient(base)  # frozen pretrained weight
         return y + (x @ A) @ B * (self.alpha / self.rank)
 
 
@@ -55,14 +78,18 @@ class DecoderBlock(nn.Module):
     dim: int
     num_heads: int
     lora_rank: int
+    eight_bit: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask):
         H, hd = self.num_heads, self.dim // self.num_heads
         h = nn.LayerNorm()(x)
-        q = LoRADense(self.dim, self.lora_rank, name="q_proj")(h)
-        k = LoRADense(self.dim, self.lora_rank, name="k_proj")(h)
-        v = LoRADense(self.dim, self.lora_rank, name="v_proj")(h)
+        q = LoRADense(self.dim, self.lora_rank, eight_bit=self.eight_bit,
+                      name="q_proj")(h)
+        k = LoRADense(self.dim, self.lora_rank, eight_bit=self.eight_bit,
+                      name="k_proj")(h)
+        v = LoRADense(self.dim, self.lora_rank, eight_bit=self.eight_bit,
+                      name="v_proj")(h)
         B, L, _ = x.shape
         qh = q.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
         kh = k.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
@@ -72,7 +99,8 @@ class DecoderBlock(nn.Module):
         probs = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, self.dim)
-        x = x + LoRADense(self.dim, self.lora_rank, name="o_proj")(ctx)
+        x = x + LoRADense(self.dim, self.lora_rank, eight_bit=self.eight_bit,
+                          name="o_proj")(ctx)
         h = nn.LayerNorm()(x)
         f = nn.Dense(self.dim * 4, kernel_init=_init02, name="up")(h)
         f = nn.silu(f)
@@ -90,6 +118,8 @@ class E4SRec(SeqRecArch):
     num_blocks: int = 2
     num_heads: int = 4
     lora_rank: int = 16
+    # bitsandbytes load_in_8bit analogue: int8 backbone attention weights
+    eight_bit: bool = False
     num_prompt_tokens: int = 4  # instruction sandwich length
     num_response_tokens: int = 2
 
@@ -109,7 +139,7 @@ class E4SRec(SeqRecArch):
         )
         self.blocks = [
             DecoderBlock(self.backbone_dim, self.num_heads, self.lora_rank,
-                         name=f"block_{i}")
+                         self.eight_bit, name=f"block_{i}")
             for i in range(self.num_blocks)
         ]
         self.final_ln = nn.LayerNorm()
