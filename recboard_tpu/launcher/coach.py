@@ -332,35 +332,60 @@ class Coach:
         )
         return loss, (logs, new_stats)
 
+    def _loss_and_grad(self, params, stats, batch, rng, has_stats):
+        """One differentiated forward: (loss, logs, new_stats, grads).
+        Routes through ``loss_of`` (the documented override point) when
+        the model has no non-param collections, else through
+        ``loss_of_with_stats``."""
+        if has_stats:
+            def fn(p):
+                return self.loss_of_with_stats(p, stats, batch, rng)
+
+            (loss, (logs, new_stats)), grads = jax.value_and_grad(
+                fn, has_aux=True
+            )(params)
+            return loss, logs, new_stats, grads
+
+        def fn(p):
+            return self.loss_of(p, batch, rng)
+
+        (loss, logs), grads = jax.value_and_grad(fn, has_aux=True)(params)
+        return loss, logs, stats, grads
+
+    def _check_stats_override(self, has_stats: bool) -> None:
+        """A subclass that customizes loss_of but not loss_of_with_stats
+        would silently train with the WRONG loss for stats-bearing
+        models (BatchNorm, eight_bit) — fail loudly instead."""
+        if (
+            has_stats
+            and type(self).loss_of is not Coach.loss_of
+            and type(self).loss_of_with_stats is Coach.loss_of_with_stats
+        ):
+            raise NotImplementedError(
+                f"{type(self).__name__} overrides loss_of but the model "
+                "initialized non-param collections (BatchNorm running "
+                "stats / quantized weights) — override loss_of_with_stats "
+                "too, or the custom loss would be silently bypassed"
+            )
+
     def _make_train_step(self):
         accum = max(1, int(self.cfg.get("gradient_accumulation_steps", 1)))
         has_stats = bool(jax.tree.leaves(self.state.stats)) if self.state else False
+        self._check_stats_override(has_stats)
 
         def step(state: TrainState, batch, rng):
-            new_stats = state.stats
-
-            def loss_fn(params):
-                return self.loss_of(params, batch, rng)
-
-            if has_stats and accum == 1:
-                def loss_fn_stats(params):
-                    return self.loss_of_with_stats(params, state.stats, batch, rng)
-
-                (loss, (logs, new_stats)), grads = jax.value_and_grad(
-                    loss_fn_stats, has_aux=True
-                )(state.params)
-            elif has_stats:
-                # microbatch scan, stats threaded sequentially through
-                # the carry (each microbatch updates the running stats,
-                # exactly like accum sequential forward passes would)
-                def micro_stats(carry, mb):
+            if accum == 1:
+                loss, logs, new_stats, grads = self._loss_and_grad(
+                    state.params, state.stats, batch, rng, has_stats
+                )
+            else:
+                # microbatch scan over the leading-axis split; stats
+                # thread sequentially through the carry (each microbatch
+                # updates running stats like accum sequential forwards)
+                def micro(carry, mb):
                     grads_acc, loss_sum, stats = carry
-
-                    def fn(params):
-                        return self.loss_of_with_stats(params, stats, mb, rng)
-
-                    (l, (lg, stats)), g = jax.value_and_grad(fn, has_aux=True)(
-                        state.params
+                    l, lg, stats, g = self._loss_and_grad(
+                        state.params, stats, mb, rng, has_stats
                     )
                     return (
                         jax.tree.map(jnp.add, grads_acc, g),
@@ -374,34 +399,8 @@ class Coach:
                 )
                 zeros = jax.tree.map(jnp.zeros_like, state.params)
                 (grads, loss, new_stats), logs = jax.lax.scan(
-                    micro_stats, (zeros, 0.0, state.stats), split
+                    micro, (zeros, 0.0, state.stats), split
                 )
-                grads = jax.tree.map(lambda g: g / accum, grads)
-                loss = loss / accum
-                logs = jax.tree.map(lambda x: x.mean(), logs)
-            elif accum == 1:
-                (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                    state.params
-                )
-            else:
-                # microbatch scan over the leading axis split
-                def micro(carry, mb):
-                    def fn(params):
-                        return self.loss_of(params, mb, rng)
-
-                    (l, lg), g = jax.value_and_grad(fn, has_aux=True)(state.params)
-                    grads, loss_sum = carry
-                    return (
-                        jax.tree.map(jnp.add, grads, g),
-                        loss_sum + l,
-                    ), lg
-
-                split = jax.tree.map(
-                    lambda x: x.reshape(accum, x.shape[0] // accum, *x.shape[1:]),
-                    batch,
-                )
-                zeros = jax.tree.map(jnp.zeros_like, state.params)
-                (grads, loss), logs = jax.lax.scan(micro, (zeros, 0.0), split)
                 grads = jax.tree.map(lambda g: g / accum, grads)
                 loss = loss / accum
                 logs = jax.tree.map(lambda x: x.mean(), logs)
@@ -454,30 +453,16 @@ class Coach:
         if key not in self._jit_cache:
 
             has_stats = bool(jax.tree.leaves(self.state.stats))
+            self._check_stats_override(has_stats)
 
             def step(state, epoch_key, step_idx, base_rng):
                 batch = sampler.sample(epoch_key, step_idx)
                 # derive the step rng ON DEVICE — a host-side split per
                 # step would serialize on the dispatch round-trip
                 rng = jax.random.fold_in(base_rng, state.step)
-                new_stats = state.stats
-
-                if has_stats:
-                    def loss_fn_stats(params):
-                        return self.loss_of_with_stats(
-                            params, state.stats, batch, rng
-                        )
-
-                    (loss, (logs, new_stats)), grads = jax.value_and_grad(
-                        loss_fn_stats, has_aux=True
-                    )(state.params)
-                else:
-                    def loss_fn(params):
-                        return self.loss_of(params, batch, rng)
-
-                    (loss, logs), grads = jax.value_and_grad(
-                        loss_fn, has_aux=True
-                    )(state.params)
+                loss, _, new_stats, grads = self._loss_and_grad(
+                    state.params, state.stats, batch, rng, has_stats
+                )
                 updates, opt_state = self.optimizer.update(
                     grads, state.opt_state, state.params
                 )

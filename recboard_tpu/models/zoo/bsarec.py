@@ -54,25 +54,22 @@ class BSAAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, key_padding_mask: jnp.ndarray, deterministic: bool = True
+        self, x: jnp.ndarray, attn_mask: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
-        L = x.shape[1]
         q = nn.Dense(self.hidden_size, kernel_init=xavier_normal, name="query")(x)
         k = nn.Dense(self.hidden_size, kernel_init=xavier_normal, name="key")(x)
         v = nn.Dense(self.hidden_size, kernel_init=xavier_normal, name="value")(x)
-        # the reference masks with an additive -1e4, NOT -inf
-        # (BSARec/main.py:133-141): for a fully-padded query row every
-        # score shifts by the same -1e4, so softmax degrades to plain
-        # softmax over the raw scores rather than zeros. Those pad rows
-        # LEAK into valid positions through the next block's FFT branch
-        # (FrequencyLayer mixes along time), so replicate the additive
-        # mask exactly instead of hard masking.
-        allowed = jnp.tril(
-            jnp.broadcast_to(~key_padding_mask[:, None, None, :], (x.shape[0], 1, L, L))
-        )
-        add = jnp.where(allowed, 0.0, -1.0e4)
+        # attn_mask is the reference's additive -1e4 mask (see
+        # ops/attention.additive_causal_mask: fully-padded query rows
+        # degrade to plain softmax, NOT zeros — those rows leak into
+        # valid positions through the next block's FFT branch) and
+        # dropout sits on the attention probabilities
+        # (BSARec/modules.py:96-100,131-134).
+        dropout_active = self.attn_dropout_rate > 0.0 and not deterministic
         ctx = attn_ops.mha(
-            q, k, v, num_heads=self.num_heads, causal=False, bias=add,
+            q, k, v, num_heads=self.num_heads, causal=False, bias=attn_mask,
+            dropout_rate=self.attn_dropout_rate,
+            dropout_rng=self.make_rng("dropout") if dropout_active else None,
         )
         out = nn.Dense(self.hidden_size, kernel_init=xavier_normal, name="dense")(ctx)
         out = nn.Dropout(self.hidden_dropout_rate)(out, deterministic=deterministic)
@@ -88,14 +85,14 @@ class BSARecBlock(nn.Module):
     hidden_dropout_rate: float
 
     @nn.compact
-    def __call__(self, x, key_padding_mask, deterministic: bool = True):
+    def __call__(self, x, attn_mask, deterministic: bool = True):
         dsp = FrequencyLayer(self.c, self.hidden_size, self.hidden_dropout_rate)(
             x, deterministic
         )
         gsp = BSAAttention(
             self.hidden_size, self.num_heads, self.attn_dropout_rate,
             self.hidden_dropout_rate,
-        )(x, key_padding_mask, deterministic)
+        )(x, attn_mask, deterministic)
         h = self.alpha * dsp + (1 - self.alpha) * gsp
         # FeedForward: 4x GELU + LN residual (BSARec/modules.py:27-77)
         f = nn.Dense(4 * self.hidden_size, kernel_init=xavier_normal)(h)
@@ -154,14 +151,17 @@ class BSARec(SeqRecArch):
         )
 
     def encode(self, data: Batch, deterministic: bool = True):
+        from ...ops.attention import additive_causal_mask
+
         seqs = data[self.ISeq]
-        key_padding_mask = seqs == self.PADDING_VALUE  # (B, L) True at pads
+        # built ONCE per encode (data-dependent, layer-independent)
+        attn_mask = additive_causal_mask(seqs == self.PADDING_VALUE)
         x = self.item_embeddings(seqs)
         x = x + self.position_embeddings(jnp.arange(seqs.shape[1])[None, :])
         x = self.in_ln(x)
         x = self.in_dropout(x, deterministic=deterministic)
         for block in self.blocks:
-            x = block(x, key_padding_mask, deterministic)
+            x = block(x, attn_mask, deterministic)
         q = x[:, -1, :]
         return q, self.item_embeddings.embedding[self.NUM_PADS :]
 

@@ -80,23 +80,18 @@ class _PostLNBlock(nn.Module):
     attn_dropout_rate: float
 
     @nn.compact
-    def __call__(self, x, key_padding_mask, deterministic=True):
-        B, L = x.shape[0], x.shape[1]
+    def __call__(self, x, attn_mask, deterministic=True):
         q = nn.Dense(self.dim, kernel_init=_init02, name="query")(x)
         k = nn.Dense(self.dim, kernel_init=_init02, name="key")(x)
         v = nn.Dense(self.dim, kernel_init=_init02, name="value")(x)
-        # reference semantics (UniSRec/main.py:249-257, modules.py:118-144):
-        # additive -1e4 mask (a fully-masked query row — e.g. a short
-        # sequence whose every item got random-masked — degrades to
-        # plain softmax over raw scores, not zeros) and dropout on the
-        # attention probabilities.
-        allowed = jnp.tril(
-            jnp.broadcast_to(~key_padding_mask[:, None, None, :], (B, 1, L, L))
-        )
-        add = jnp.where(allowed, 0.0, -1.0e4)
+        # attn_mask: ops/attention.additive_causal_mask — the reference's
+        # additive -1e4 semantics (UniSRec/main.py:249-257; a fully-masked
+        # query row, e.g. a short sequence whose every item got
+        # random-masked, degrades to plain softmax, not zeros); dropout
+        # sits on the attention probabilities (modules.py:118-144).
         attn_dropout_active = self.attn_dropout_rate > 0.0 and not deterministic
         ctx = attn_ops.mha(
-            q, k, v, num_heads=self.num_heads, causal=False, bias=add,
+            q, k, v, num_heads=self.num_heads, causal=False, bias=attn_mask,
             dropout_rate=self.attn_dropout_rate,
             dropout_rng=self.make_rng("dropout") if attn_dropout_active else None,
         )
@@ -205,13 +200,14 @@ class UniSRec(SeqRecArch):
         return self._eval_pipe("test", maxlen, ranking, batch_size)
 
     def encode(self, seqs: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        key_padding_mask = seqs == self.PADDING_VALUE
+        # built ONCE per encode (data-dependent, layer-independent)
+        attn_mask = attn_ops.additive_causal_mask(seqs == self.PADDING_VALUE)
         x = self.moe_adaptor(self._table[seqs], deterministic=deterministic)
         x = x + self.position_embeddings(jnp.arange(seqs.shape[1])[None, :])
         x = self.input_ln(x)
         x = self.input_dropout(x, deterministic=deterministic)
         for block in self.blocks:
-            x = block(x, key_padding_mask, deterministic)
+            x = block(x, attn_mask, deterministic)
         q = x[:, -1, :]
         return q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
 

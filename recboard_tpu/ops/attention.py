@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["mha", "mha_reference", "mha_pallas"]
+__all__ = ["mha", "mha_reference", "mha_pallas", "additive_causal_mask"]
 
 NEG_INF = -1e30
 
@@ -51,6 +51,21 @@ def _merge_masks(
     if bias is not None:
         add = bias if add is None else add + bias
     return add
+
+
+def additive_causal_mask(key_padding_mask: jnp.ndarray, value: float = -1.0e4):
+    """(B, L) True-at-pads → (B, 1, L, L) additive mask in the recbole
+    convention (tril ∧ key-valid → 0, else ``value``; BSARec/main.py:133-141,
+    UniSRec/main.py:249-257). With the default -1e4, a fully-masked query
+    row degrades to plain softmax over raw scores — NOT zeros — which is
+    the reference behavior models like BSARec depend on. Data-dependent
+    but layer-independent: build it once per encode and pass to every
+    block."""
+    B, L = key_padding_mask.shape
+    allowed = jnp.tril(
+        jnp.broadcast_to(~key_padding_mask[:, None, None, :], (B, 1, L, L))
+    )
+    return jnp.where(allowed, 0.0, value)
 
 
 def mha_reference(

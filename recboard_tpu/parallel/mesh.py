@@ -85,18 +85,28 @@ def shard_params(mesh: Mesh, params: Any, specs: Any) -> Any:
     replication for that dimension (e.g. a vocab not divisible by
     num_model_shards): GSPMD requires even sharding, and at serving/
     training entry points an odd table is better replicated than
-    crashed on. Production tables should pad (tables.pad_vocab)."""
+    crashed on — but the fallback is LOUD (one warning per leaf) since
+    a replicated table defeats the point of model sharding. Production
+    tables should pad (tables.pad_vocab)."""
+    from .. import utils
 
-    def place(leaf, spec):
+    def place(path, leaf, spec):
         fixed = tuple(
             None
             if axis is not None and np.shape(leaf)[i] % mesh.shape[axis] != 0
             else axis
             for i, axis in enumerate(tuple(spec))
         )
+        if fixed != tuple(spec):
+            name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+            utils.warnLogger(
+                f"[mesh] >>> {name} {np.shape(leaf)} does not divide mesh "
+                f"{dict(mesh.shape)} — REPLICATING instead of sharding "
+                f"(pad the vocab to a multiple, see tables.pad_vocab)"
+            )
         return jax.device_put(leaf, NamedSharding(mesh, PartitionSpec(*fixed)))
 
-    return jax.tree.map(place, params, specs)
+    return jax.tree_util.tree_map_with_path(place, params, specs)
 
 
 def local_batch_slice(global_batch: int, mesh: Mesh) -> int:

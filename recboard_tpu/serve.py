@@ -127,8 +127,15 @@ def main(argv: Optional[list] = None):
         mesh = mesh_lib.make_mesh(args.num_model_shards)
         specs = mesh_lib.match_partition_rules(model.partition_rules(), params)
         params = mesh_lib.shard_params(mesh, params, specs)
+        n_sharded = sum(
+            1 for leaf in jax.tree.leaves(params)
+            if getattr(leaf.sharding, "spec", None)
+            and any(a is not None for a in tuple(leaf.sharding.spec))
+        )
         utils.infoLogger(
-            f"[recommend] >>> params sharded over {mesh.shape} mesh"
+            f"[recommend] >>> {n_sharded} param tensors sharded over "
+            f"{dict(mesh.shape)} mesh"
+            + ("" if n_sharded else " — NOTHING sharded (see warnings)")
         )
 
     import inspect
@@ -191,7 +198,17 @@ def main(argv: Optional[list] = None):
         import json
         import time
 
+        if args.with_scores or args.output != "-":
+            utils.warnLogger(
+                "[recommend] >>> --bench measures latency only; "
+                "--output/--with-scores are ignored (rerun without --bench "
+                "to emit the TSV)"
+            )
         staged = list(device_batches())
+        if not staged:
+            raise SystemExit(
+                "no eval batches to serve — the split produced zero users"
+            )
         for users, batch, seen_ids, _ in staged:  # compile every bucket
             jax.block_until_ready(score_topk(params, buffers, batch, seen_ids))
         lat, n_users = [], 0
