@@ -273,7 +273,10 @@ class Coach:
             for f, v in batch.items()
             if _is_array(v) and f != Size
         }
-        variables = self.model.init(
+        # init under jit: eager per-op dispatch is slow over the axon
+        # tunnel and some ops (unjitted rfft) are UNIMPLEMENTED on the
+        # experimental TPU backend — FFT models would crash at init
+        variables = jax.jit(self.model.init)(
             {"params": init_rng, "dropout": drop_rng, "sampling": drop_rng}, arrays
         )
         params = variables["params"]

@@ -56,8 +56,11 @@ def main():
 
     import jax
 
-    if jax.default_backend() not in ("cpu", "tpu"):
-        jax.config.update("jax_platforms", "cpu")
+    # ALWAYS CPU: host generator pipes dispatch per batch, which over the
+    # axon TPU tunnel measures the tunnel; and the tunnel is effectively
+    # single-client — a second TPU process gets spurious UNIMPLEMENTED
+    # errors (observed when this sweep ran concurrently with tpu_bench)
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from recboard_tpu.data import synthetic

@@ -54,7 +54,7 @@ def _measure(model, batch, steps, rngs_extra=()):
     import jax.numpy as jnp
     import optax
 
-    params = model.init(
+    params = jax.jit(model.init)(
         {
             "params": jax.random.PRNGKey(0),
             "dropout": jax.random.PRNGKey(1),
@@ -128,6 +128,39 @@ def bench_gru4rec(ds, steps):
         model.INeg: jnp.asarray(rng.integers(0, N, (BATCH, 1)), jnp.int32),
     }
     return _measure(model, batch, steps)
+
+
+def bench_bsarec(ds, steps):
+    import jax.numpy as jnp
+
+    from recboard_tpu.models.zoo import REGISTRY
+
+    # reference Beauty config: CE over the full catalog, dropouts 0.5
+    model = REGISTRY["BSARec"](ds, maxlen=MAXLEN, embedding_dim=64, num_blocks=2)
+    N = model.Item.count
+    rng = np.random.default_rng(0)
+    batch = {
+        model.ISeq: jnp.asarray(rng.integers(1, N + 1, (BATCH, MAXLEN)), jnp.int32),
+        model.IPos: jnp.asarray(rng.integers(0, N, (BATCH, 1)), jnp.int32),
+        model.INeg: jnp.asarray(rng.integers(0, N, (BATCH, 1)), jnp.int32),
+    }
+    return _measure(model, batch, steps)
+
+
+def bench_bert4rec(ds, steps):
+    import jax.numpy as jnp
+
+    from recboard_tpu.models.zoo import REGISTRY
+
+    model = REGISTRY["BERT4Rec"](ds, maxlen=MAXLEN, embedding_dim=64)
+    N = model.Item.count
+    rng = np.random.default_rng(0)
+    batch = {
+        model.ISeq: jnp.asarray(
+            rng.integers(2, N + 2, (BATCH, MAXLEN)), jnp.int32
+        ),
+    }
+    return _measure(model, batch, steps, rngs_extra=("sampling",))
 
 
 def bench_hstu(ds, steps, shared_negs=True):
@@ -207,12 +240,14 @@ BENCHES = {
     "hstu": bench_hstu,
     "lightgcn": bench_lightgcn,
     "tiger": bench_tiger,
+    "bsarec": bench_bsarec,
+    "bert4rec": bench_bert4rec,
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--models", default="sasrec,gru4rec,hstu,lightgcn,tiger")
+    ap.add_argument("--models", default="sasrec,gru4rec,hstu,lightgcn,tiger,bsarec,bert4rec")
     ap.add_argument("--steps", type=int, default=60)
     args = ap.parse_args()
 
