@@ -35,12 +35,23 @@ MODELS = {
     "HSTU": ["--maxlen", "20", "--num-blocks", "2"],
     "FMLP-Rec": ["--maxlen", "20"],
     "STAMP": ["--maxlen", "20"],
+    "NARM": ["--maxlen", "20"],
+    "Caser": ["--maxlen", "5"],
+    "STOSA": ["--maxlen", "20"],
+    "FPMC": ["--maxlen", "20"],
+    "NeuMF": ["--epochs", "30"],
+    "GCN": ["--epochs", "30"],
+    "SimGCL": ["--epochs", "30"],
+    "SGL": ["--epochs", "30"],
 }
 
 FAMILY = {
     "MF-BPR": "General", "LightGCN": "Graph", "SASRec": "Sequential",
     "GRU4Rec": "Sequential", "BSARec": "Sequential", "HSTU": "Sequential",
-    "FMLP-Rec": "Sequential", "STAMP": "Sequential",
+    "FMLP-Rec": "Sequential", "STAMP": "Sequential", "NARM": "Sequential",
+    "Caser": "Sequential", "STOSA": "Sequential", "FPMC": "Sequential",
+    "NeuMF": "General", "GCN": "Graph", "SimGCL": "Graph+SSL",
+    "SGL": "Graph+SSL",
 }
 
 
