@@ -48,10 +48,12 @@ class SEvoCoach(Coach):
             return jax.tree_util.tree_map_with_path(label, params)
 
         cfg = self.cfg
-        self.optimizer = optims.sevo_adam(
+        self.optimizer = optims.sevo_optimizer(
             lr=float(cfg.lr),
             adj=adj,
             label_fn=label_fn,
+            kind=str(cfg.get("optimizer", "adam")).lower(),
+            momentum=float(cfg.get("optim_first_moment_decay", 0.9) or 0.0),
             beta=getattr(model, "beta", 0.99),
             L=getattr(model, "smooth_layers", 3),
             aggr=getattr(model, "aggr", "neumann"),

@@ -24,7 +24,7 @@ import optax
 
 from .graph import SparseAdj, to_normalized
 
-__all__ = ["make_smoother", "smooth_updates", "sevo_adam", "build_item_graph"]
+__all__ = ["make_smoother", "smooth_updates", "sevo_adam", "sevo_optimizer", "build_item_graph"]
 
 
 def make_smoother(
@@ -65,26 +65,46 @@ def smooth_updates(smoother: Callable) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def sevo_adam(
+def sevo_optimizer(
     lr: float,
     adj: SparseAdj,
     label_fn: Callable,
+    kind: str = "adam",
     beta: float = 0.99,
     L: int = 3,
     aggr: str = "neumann",
     b1: float = 0.9,
     b2: float = 0.999,
     weight_decay: float = 0.0,
+    momentum: float = 0.0,
+    nesterov: bool = False,
 ) -> optax.GradientTransformation:
-    """Adam with SEvo smoothing on params labeled 'smooth' by
-    `label_fn(params) -> pytree of 'smooth'|'plain'`."""
+    """SEvo smoothing injected into adam / adamw / sgd (the reference
+    ships all three variants, SEvo/optims/{Adam,AdamW,SGD}.py): the
+    delta of params labeled 'smooth' by `label_fn(params) -> pytree of
+    'smooth'|'plain'` is graph-smoothed right before the lr scale —
+    the same injection point as the reference's per-param-group
+    Smoother (SEvo/optims/Adam.py:95-110).
+
+    Weight-decay placement mirrors torch: adam/sgd couple it into the
+    gradient BEFORE the moments; adamw decays decoupled AFTER them."""
     smoother = make_smoother(adj, beta, L, aggr)
 
     def branch(smooth: bool):
         chain = []
-        if weight_decay:
+        if kind in ("adam", "sgd") and weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))
-        chain.append(optax.scale_by_adam(b1=b1, b2=b2))
+        if kind in ("adam", "adamw"):
+            chain.append(optax.scale_by_adam(b1=b1, b2=b2))
+        elif kind == "sgd":
+            if momentum:
+                chain.append(
+                    optax.trace(decay=momentum, nesterov=nesterov)
+                )
+        else:
+            raise ValueError(f"unknown SEvo optimizer kind {kind!r}")
+        if kind == "adamw" and weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay))
         if smooth:
             chain.append(smooth_updates(smoother))
         chain.append(optax.scale(-lr))
@@ -93,6 +113,11 @@ def sevo_adam(
     return optax.multi_transform(
         {"smooth": branch(True), "plain": branch(False)}, label_fn
     )
+
+
+def sevo_adam(lr, adj, label_fn, **kw):
+    """Backwards-compatible alias for sevo_optimizer(kind="adam")."""
+    return sevo_optimizer(lr, adj, label_fn, kind="adam", **kw)
 
 
 def build_item_graph(
