@@ -43,6 +43,11 @@ MODELS = {
     "GCN": ["--epochs", "30"],
     "SimGCL": ["--epochs", "30"],
     "SGL": ["--epochs", "30"],
+    "JGCF": ["--epochs", "30"],
+    "PairNorm": ["--epochs", "30"],
+    "NGCF": ["--epochs", "30"],
+    "GTE": ["--epochs", "1"],
+    "SEvo": ["--maxlen", "20"],
 }
 
 FAMILY = {
@@ -51,7 +56,8 @@ FAMILY = {
     "FMLP-Rec": "Sequential", "STAMP": "Sequential", "NARM": "Sequential",
     "Caser": "Sequential", "STOSA": "Sequential", "FPMC": "Sequential",
     "NeuMF": "General", "GCN": "Graph", "SimGCL": "Graph+SSL",
-    "SGL": "Graph+SSL",
+    "SGL": "Graph+SSL", "JGCF": "Graph", "PairNorm": "Graph",
+    "NGCF": "Graph", "GTE": "General", "SEvo": "Sequential",
 }
 
 
