@@ -99,3 +99,6 @@ class DIGERCoach(ETEGRecCoach):
             self.refresh_item_codes()
         self._train_id = True
         return super(ETEGRecCoach, self).train(epoch)
+
+
+DIGER.COACH = DIGERCoach

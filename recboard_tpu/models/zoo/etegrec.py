@@ -545,3 +545,6 @@ class ETEGRecCoach(Coach):
         ):
             values = [float(sums[name]) / max(B, 1) for name in pool if name in sums]
             self.monitor(*values, n=B, reduction="mean", mode=mode, pool=pool)
+
+
+ETEGRec.COACH = ETEGRecCoach

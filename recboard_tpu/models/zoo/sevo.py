@@ -61,3 +61,8 @@ class SEvoCoach(Coach):
             b2=float(cfg.get("optim_second_moment_decay", 0.999)),
             weight_decay=float(cfg.get("weight_decay", 0.0) or 0.0),
         )
+
+
+# the generic runner must use the smoothing coach — the model alone
+# is just SASRec (the novelty LIVES in the optimizer)
+SEvo.COACH = SEvoCoach

@@ -317,7 +317,11 @@ def main(argv: Optional[list] = None):
         )
         cfg.ranking = supported[0]
     trainpipe, validpipe, testpipe = build_pipes(model, cfg)
-    coach = Coach(
+    # models whose novelty lives in the TRAINER (SEvo's smoothing
+    # optimizer, ETEGRec/DIGER's alternating cycles) declare their
+    # Coach subclass; everything else gets the base Coach
+    coach_cls = getattr(type(model), "COACH", Coach)
+    coach = coach_cls(
         dataset=dataset,
         trainpipe=trainpipe,
         validpipe=validpipe,
