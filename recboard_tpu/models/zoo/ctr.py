@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from ... import criterions
 from ...data.tags import EMBED, LABEL, SPARSE
 from ..base import Batch, PredRecArch
+from ...launcher import Coach
+from ... import utils
 from ..modules import TorchBatchNorm, xavier_normal
 from . import register
 
@@ -173,3 +175,85 @@ class DCN(_PredBase):
 
     def recommend_from_pool(self, data: Batch, buffers: Any = None) -> jnp.ndarray:
         return nn.sigmoid(self._logits(data))
+
+
+class CTRCoach(Coach):
+    """The reference CTR Coach behaviors (DeepFM/main.py:187-258):
+
+    * per-group weight decay — parameters whose path contains
+      'embeddings' decay by ``cfg.embedding_decay`` (0.05 in the DeepFM
+      BARS configs), everything else by ``cfg.weight_decay`` — torch
+      Adam placement (decay coupled into the gradient before moments);
+    * ReduceLROnPlateau on the best metric: when which4best has not
+      improved for ``patience`` further evaluations, lr *= factor and
+      the train step recompiles with the new constant (adam moments are
+      lr-independent, so optimizer state carries over exactly as
+      torch's scheduler does).
+    """
+
+    def set_optimizer(self) -> None:
+        import jax as _jax
+        import optax
+
+        cfg = self.cfg
+        ed = cfg.get("embedding_decay", None)
+        if ed is None:
+            return super().set_optimizer()
+        lr = self._current_lr = getattr(self, "_current_lr", float(cfg.lr))
+        b1 = float(cfg.get("optim_first_moment_decay", 0.9))
+        b2 = float(cfg.get("optim_second_moment_decay", 0.999))
+        wd = float(cfg.get("weight_decay", 0.0) or 0.0)
+
+        def branch(decay: float):
+            chain = []
+            if decay:
+                chain.append(optax.add_decayed_weights(decay))
+            chain.append(optax.scale_by_adam(b1=b1, b2=b2))
+            chain.append(optax.scale(-lr))
+            return optax.chain(*chain)
+
+        def label_fn(params):
+            def label(path, _):
+                name = "/".join(str(getattr(k, "key", k)) for k in path)
+                return "embed" if "embeddings" in name else "other"
+
+            return _jax.tree_util.tree_map_with_path(label, params)
+
+        self.optimizer = optax.multi_transform(
+            {"embed": branch(float(ed)), "other": branch(wd)}, label_fn
+        )
+
+    def train(self, epoch: int):
+        spec = self.cfg.get("lr_scheduler") or {}
+        kind = str(spec.get("which", spec.get("name", "plateau"))).lower()
+        if spec and kind in ("plateau", "reducelronplateau"):
+            patience = int(spec.get("patience", self.cfg.get("eval_freq", 1)))
+            factor = float(spec.get("factor", 0.1))
+            stalls = getattr(self, "_stopping_steps", 0)
+            if (
+                stalls > 0
+                and stalls % max(patience, 1) == 0
+                and stalls != getattr(self, "_last_lr_drop", -1)
+            ):
+                self._last_lr_drop = stalls
+                self._current_lr = (
+                    getattr(self, "_current_lr", float(self.cfg.lr)) * factor
+                )
+                utils.infoLogger(
+                    f"[Coach] >>> plateau: lr -> {self._current_lr:.3e}"
+                )
+                self.set_optimizer()
+                self._train_step_fn = None  # recompile with the new lr
+        return super().train(epoch)
+
+    def set_lr_scheduler(self) -> None:
+        # plateau is handled in train(); other kinds fall back
+        spec = self.cfg.get("lr_scheduler") or {}
+        kind = str(spec.get("which", spec.get("name", "plateau"))).lower()
+        if spec and kind not in ("plateau", "reducelronplateau"):
+            return super().set_lr_scheduler()
+        self.lr_schedule = None
+
+
+DeepFM.COACH = CTRCoach
+DCN.COACH = CTRCoach
