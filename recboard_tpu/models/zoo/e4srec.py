@@ -34,7 +34,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ... import criterions
+from ... import criterions, utils
+from ...launcher import Coach
+from ...parallel import dist
 from ..base import Batch, SeqRecArch
 from . import register
 
@@ -218,3 +220,64 @@ class E4SRec(SeqRecArch):
             return "trainable" if trainable else "frozen"
 
         return jax.tree_util.tree_map_with_path(label, params)
+
+
+class E4SRecCoach(Coach):
+    """Saves/loads ONLY the trainable subset (adaptor / LoRA / output
+    head / LayerNorms) — the E4SRec persistence protocol
+    (E4SRec/main.py:215-246): the frozen backbone is reconstructable
+    from the pretrained checkpoint, so model.pkl/best.pkl stay tiny.
+    Loading merges the saved subset over freshly built params and
+    synchronizes, mirroring the reference's load + barrier."""
+
+    def _trainable_mask(self):
+        labels = self.get_res_sys_arch().trainable_labels(self.state.params)
+        return jax.tree.map(lambda l: l == "trainable", labels)
+
+    @dist.main_process_only
+    def save(self, filename=None, best=False) -> None:
+        import os
+
+        import numpy as np
+
+        cfg = self.cfg
+        utils.mkdirs(cfg.CHECKPOINT_PATH)
+        filename = filename or (
+            cfg.BEST_FILENAME if best else cfg.SAVED_FILENAME
+        )
+        mask = self._trainable_mask()
+        subset = jax.tree.map(
+            lambda p, keep: np.asarray(p) if keep else None,
+            self.state.params,
+            mask,
+        )
+        utils.export_pickle(
+            {"params": subset, "partial": True},
+            os.path.join(cfg.CHECKPOINT_PATH, filename),
+        )
+
+    def load(self, path=None, filename=None) -> None:
+        import os
+
+        cfg = self.cfg
+        payload = utils.import_pickle(
+            os.path.join(path or cfg.CHECKPOINT_PATH, filename or cfg.SAVED_FILENAME)
+        )
+        if not payload.get("partial"):
+            return super().load(path, filename)
+        self._ensure_state()
+        merged = jax.tree.map(
+            lambda cur, new: cur if new is None else jnp.asarray(new),
+            self.state.params,
+            payload["params"],
+            is_leaf=lambda x: x is None,
+        )
+        from ...launcher.coach import TrainState
+
+        self.state = TrainState(
+            merged, self.state.opt_state, self.state.step, self.state.stats
+        )
+        dist.synchronize()
+
+
+E4SRec.COACH = E4SRecCoach

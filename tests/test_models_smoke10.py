@@ -159,3 +159,64 @@ def test_e4srec_eight_bit(tiny_dataset, tmp_path):
     # the int8 backbone never trains — bit-identical across epochs
     q_after = coach.state.stats["quant"]["block_0"]["q_proj"]["base_kernel"]["q8"]
     np.testing.assert_array_equal(np.asarray(q_after), q_start)
+
+
+def test_e4srec_coach_partial_save_load(tiny_dataset, tmp_path):
+    """E4SRecCoach persists ONLY the trainable subset (adaptor/LoRA/
+    head/LN — E4SRec/main.py:215-246); loading merges it over fresh
+    params, leaving the frozen backbone untouched."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from recboard_tpu.models.zoo import E4SRec
+    from recboard_tpu.models.zoo.e4srec import E4SRecCoach
+    from recboard_tpu.parser import Parser
+    from recboard_tpu import utils
+
+    I = tiny_dataset.fields["ITEM", "ID"].count
+    feats = np.random.default_rng(0).normal(size=(I, 12)).astype(np.float32)
+    model = E4SRec(tiny_dataset, item_features=feats, maxlen=8,
+                   backbone_dim=32, num_blocks=1, num_heads=2, lora_rank=4)
+    assert getattr(type(model), "COACH", None) is E4SRecCoach
+
+    p = Parser()
+    p.set_defaults(description="E4SRec", root="x", dataset="tiny", epochs=2,
+                   batch_size=16, lr=5e-3, eval_freq=10, log2file=False,
+                   log2console=False, log_path=str(tmp_path / "l"),
+                   checkpoint_path=str(tmp_path / "i"),
+                   monitors=["LOSS"], which4best="LOSS", seed=0)
+    cfg = p.compile([])
+    coach = E4SRecCoach(dataset=tiny_dataset,
+                        trainpipe=model.sure_trainpipe(8, 16),
+                        validpipe=None, testpipe=None, model=model, cfg=cfg)
+    coach.train(0)
+    coach.save("partial.pkl")
+
+    payload = utils.import_pickle(os.path.join(cfg.CHECKPOINT_PATH, "partial.pkl"))
+    assert payload["partial"]
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in path): leaf
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+            payload["params"], is_leaf=lambda x: x is None
+        )
+    }
+    assert any("lora_A" in n and v is not None for n, v in flat.items())
+    assert all(v is None for n, v in flat.items() if "base_kernel" in n)
+
+    # perturb then load: trainable params restore, frozen stay perturbed
+    before = jax.tree.map(np.asarray, coach.state.params)
+    from recboard_tpu.launcher.coach import TrainState
+    coach.state = TrainState(
+        jax.tree.map(lambda x: x + 1.0, coach.state.params),
+        coach.state.opt_state, coach.state.step, coach.state.stats,
+    )
+    coach.load(filename="partial.pkl")
+    after = jax.tree.map(np.asarray, coach.state.params)
+    np.testing.assert_allclose(
+        after["adaptor"]["kernel"], before["adaptor"]["kernel"], rtol=1e-6
+    )
+    bk_b = before["block_0"]["q_proj"]["base_kernel"]
+    bk_a = after["block_0"]["q_proj"]["base_kernel"]
+    np.testing.assert_allclose(np.asarray(bk_a), np.asarray(bk_b) + 1.0, rtol=1e-6)
