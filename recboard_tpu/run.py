@@ -40,6 +40,17 @@ def build_model(name: str, dataset: RecDataSet, cfg: Dict[str, Any]):
         )
     fields = model_field_names(cls)
     kwargs = {k: cfg[k] for k in fields if k in cfg and cfg[k] is not None}
+    # reference configs write sequence hyperparameters as comma strings
+    # parsed by cfg.<k>.split(",") (DeepFM/main.py:283 style:
+    # "400,400,400", sk_epsilons "0.,0.,0.003") — coerce them to the
+    # tuple type the dataclass field declares, element type taken from
+    # the field's default
+    defaults = {f.name: f.default for f in dataclasses.fields(cls)}
+    for k, v in list(kwargs.items()):
+        d = defaults.get(k)
+        if isinstance(v, str) and isinstance(d, (tuple, list)):
+            elem = type(d[0]) if len(d) else float
+            kwargs[k] = tuple(elem(x) for x in v.split(",") if x != "")
     if "adj" in fields and "adj" not in kwargs:
         if hasattr(cls, "build_adj"):
             kwargs["adj"] = cls.build_adj(dataset)
@@ -56,7 +67,16 @@ def build_model(name: str, dataset: RecDataSet, cfg: Dict[str, Any]):
         file_ = cfg.get(key)
         if not file_:
             return None
-        feats = _utils.import_pickle(os.path.join(dataset.path, file_))
+        path = os.path.join(dataset.path, file_)
+        if not os.path.isfile(path):
+            raise SystemExit(
+                f"model {name!r} needs the modality feature pickle "
+                f"{file_!r} under {dataset.path} (encode it as the "
+                "reference does: encode_amazon2023_context.ipynb / "
+                "<Model>/encode_textual_features.py, or pass "
+                f"--{key} '' to drop this modality)"
+            )
+        feats = _utils.import_pickle(path)
         import numpy as _np
 
         return _np.asarray(feats, dtype=_np.float32)
