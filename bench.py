@@ -210,6 +210,10 @@ def main():
                 "value": round(value, 1),
                 "unit": "examples/s",
                 "vs_baseline": round(vs, 2) if vs else None,
+                # vs_baseline semantics: speedup over a reference-style
+                # torch SASRec step on THIS host's CPU (bench_torch) —
+                # the reference's CUDA hardware is not present here
+                "baseline": "torch-cpu same-host sasrec step",
             }
         )
     )

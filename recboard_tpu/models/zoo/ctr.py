@@ -197,9 +197,25 @@ class CTRCoach(Coach):
 
         cfg = self.cfg
         ed = cfg.get("embedding_decay", None)
+        self._current_lr = getattr(self, "_current_lr", float(cfg.lr))
         if ed is None:
-            return super().set_optimizer()
-        lr = self._current_lr = getattr(self, "_current_lr", float(cfg.lr))
+            # the plateau drop must survive the fallback path too: the
+            # base set_optimizer builds from cfg.lr, so feed it the
+            # current (possibly plateau-decayed) lr
+            orig_lr = cfg.lr
+            try:
+                cfg.lr = self._current_lr
+                return super().set_optimizer()
+            finally:
+                cfg.lr = orig_lr
+        # a non-plateau schedule (cosine/step/...) set by set_lr_scheduler
+        # takes precedence over the constant current lr, exactly as the
+        # base Coach does
+        lr = (
+            self.lr_schedule
+            if getattr(self, "lr_schedule", None)
+            else self._current_lr
+        )
         b1 = float(cfg.get("optim_first_moment_decay", 0.9))
         b2 = float(cfg.get("optim_second_moment_decay", 0.999))
         wd = float(cfg.get("weight_decay", 0.0) or 0.0)
@@ -209,7 +225,7 @@ class CTRCoach(Coach):
             if decay:
                 chain.append(optax.add_decayed_weights(decay))
             chain.append(optax.scale_by_adam(b1=b1, b2=b2))
-            chain.append(optax.scale(-lr))
+            chain.append(optax.scale_by_learning_rate(lr))
             return optax.chain(*chain)
 
         def label_fn(params):
@@ -229,16 +245,22 @@ class CTRCoach(Coach):
         if spec and kind in ("plateau", "reducelronplateau"):
             patience = int(spec.get("patience", self.cfg.get("eval_freq", 1)))
             factor = float(spec.get("factor", 0.1))
+            min_lr = float(spec.get("min_lr", 0.0) or 0.0)
             stalls = getattr(self, "_stopping_steps", 0)
+            if stalls == 0:
+                # metric improved since the last eval: a fresh plateau
+                # must trigger its own drop (torch ReduceLROnPlateau
+                # resets num_bad_epochs on improvement)
+                self._last_lr_drop = -1
+            cur = getattr(self, "_current_lr", float(self.cfg.lr))
             if (
                 stalls > 0
                 and stalls % max(patience, 1) == 0
                 and stalls != getattr(self, "_last_lr_drop", -1)
+                and cur > min_lr
             ):
                 self._last_lr_drop = stalls
-                self._current_lr = (
-                    getattr(self, "_current_lr", float(self.cfg.lr)) * factor
-                )
+                self._current_lr = max(cur * factor, min_lr)
                 utils.infoLogger(
                     f"[Coach] >>> plateau: lr -> {self._current_lr:.3e}"
                 )

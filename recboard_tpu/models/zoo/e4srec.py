@@ -251,9 +251,14 @@ class E4SRecCoach(Coach):
             self.state.params,
             mask,
         )
+        payload = {"params": subset, "partial": True}
+        # non-param collections (the int8 `quant` base weights) are NOT
+        # re-derivable from the trainable subset — persist them so
+        # serving/resume does not depend on replaying the init seed
+        if self.state.stats:
+            payload["stats"] = jax.tree.map(np.asarray, self.state.stats)
         utils.export_pickle(
-            {"params": subset, "partial": True},
-            os.path.join(cfg.CHECKPOINT_PATH, filename),
+            payload, os.path.join(cfg.CHECKPOINT_PATH, filename)
         )
 
     def load(self, path=None, filename=None) -> None:
@@ -274,8 +279,11 @@ class E4SRecCoach(Coach):
         )
         from ...launcher.coach import TrainState
 
+        stats = self.state.stats
+        if payload.get("stats"):
+            stats = jax.tree.map(jnp.asarray, payload["stats"])
         self.state = TrainState(
-            merged, self.state.opt_state, self.state.step, self.state.stats
+            merged, self.state.opt_state, self.state.step, stats
         )
         dist.synchronize()
 

@@ -33,7 +33,11 @@ __all__ = ["SemIDConverter", "SimpleTokenizer"]
 
 
 class SimpleTokenizer:
-    """Minimal added-token vocabulary (HF-tokenizer shaped)."""
+    """Minimal added-token vocabulary (HF-tokenizer shaped).
+
+    Mirrors the reference's doctest shim (TIGER/converter.py:84-97) —
+    the three-method surface is the protocol contract the converter
+    targets, so the shape is necessarily identical."""
 
     def __init__(self):
         self.vocab: Dict[str, int] = {}

@@ -80,6 +80,9 @@ def main(argv: Optional[list] = None):
                     help="shard params over a (data, model) mesh")
     ap.add_argument("--bench", action="store_true",
                     help="print one JSON serving-latency line, no TSV")
+    ap.add_argument("--bench-batches", type=int, default=64,
+                    help="max batches staged on device for --bench "
+                         "(bounds HBM use on large splits)")
     args = ap.parse_args(argv)
 
     import jax
@@ -117,9 +120,56 @@ def main(argv: Optional[list] = None):
             break
     if payload is None:
         raise SystemExit(f"no params pickle under {ckpt_dir} (tried {names})")
-    params = jax.tree.map(jnp.asarray, payload["params"])
-    # non-param collections (BatchNorm running stats) ride beside params
-    stats = jax.tree.map(jnp.asarray, payload.get("stats") or {})
+    if payload.get("partial"):
+        # trainable-subset checkpoint (E4SRecCoach.save): rebuild the
+        # frozen backbone exactly as training initialized it — the same
+        # seed produces the same rng split as Coach._init_state — then
+        # overlay the saved subset; the int8 `quant` collection comes
+        # from the payload when present (seed replay otherwise)
+        import inspect as _inspect
+
+        utils.infoLogger(
+            "[recommend] >>> partial checkpoint: re-initializing the "
+            f"frozen backbone from seed {cfg.get('seed', 0)} and merging "
+            "the saved trainable subset"
+        )
+        rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+        _, init_rng, drop_rng = jax.random.split(rng, 3)
+        sig_t = _inspect.signature(model.sure_trainpipe)
+        tpipe = (
+            model.sure_trainpipe(int(cfg.maxlen), int(cfg.batch_size))
+            if "maxlen" in sig_t.parameters
+            else model.sure_trainpipe(int(cfg.batch_size))
+        )
+        if hasattr(tpipe, "set_seed"):
+            tpipe.set_seed(int(cfg.get("seed", 0)))
+        if hasattr(tpipe, "set_epoch"):
+            tpipe.set_epoch(0)
+        first = next(iter(tpipe))
+        arrays = {
+            f: jnp.asarray(v)
+            for f, v in first.items()
+            if isinstance(v, np.ndarray) and f != Size
+        }
+        variables = jax.jit(model.init)(
+            {"params": init_rng, "dropout": drop_rng, "sampling": drop_rng},
+            arrays,
+        )
+        params = jax.tree.map(
+            lambda cur, new: cur if new is None else jnp.asarray(new),
+            variables["params"],
+            payload["params"],
+            is_leaf=lambda x: x is None,
+        )
+        stats = jax.tree.map(
+            jnp.asarray,
+            payload.get("stats")
+            or {k: v for k, v in variables.items() if k != "params"},
+        )
+    else:
+        params = jax.tree.map(jnp.asarray, payload["params"])
+        # non-param collections (BatchNorm running stats) ride beside params
+        stats = jax.tree.map(jnp.asarray, payload.get("stats") or {})
 
     if args.num_model_shards > 1:
         from .parallel import mesh as mesh_lib
@@ -204,7 +254,13 @@ def main(argv: Optional[list] = None):
                 "--output/--with-scores are ignored (rerun without --bench "
                 "to emit the TSV)"
             )
-        staged = list(device_batches())
+        # stage only a bounded prefix: steady-state serving holds ONE
+        # batch in HBM; staging the whole split would OOM on large ones
+        import itertools
+
+        staged = list(
+            itertools.islice(device_batches(), max(int(args.bench_batches), 1))
+        )
         if not staged:
             raise SystemExit(
                 "no eval batches to serve — the split produced zero users"

@@ -188,3 +188,67 @@ def test_ctr_coach_embedding_decay_and_plateau(ctr_dataset, tmp_path):
     lr_before = coach._current_lr
     coach.train(1)
     assert coach._current_lr == pytest.approx(lr_before * 0.5)
+
+    # improvement resets the drop tracker so a LATER plateau reaching
+    # the same stall count drops again (torch ReduceLROnPlateau resets
+    # num_bad_epochs on improvement)
+    coach._stopping_steps = 0
+    coach.train(1)
+    assert coach._last_lr_drop == -1
+    coach._stopping_steps = 1
+    lr_mid = coach._current_lr
+    coach.train(1)
+    assert coach._current_lr == pytest.approx(lr_mid * 0.5)
+
+    # min_lr clamps the decay (BARS configs set min_lr: 1e-6)
+    coach.cfg.lr_scheduler["min_lr"] = coach._current_lr
+    coach._stopping_steps = 0
+    coach.train(1)
+    coach._stopping_steps = 1
+    lr_floor = coach._current_lr
+    coach.train(1)
+    assert coach._current_lr == lr_floor
+
+
+def _adam_update_scale(optimizer, params):
+    """|update| of a constant-gradient adam step ≈ the effective lr."""
+    import jax
+    import jax.numpy as jnp
+
+    grads = jax.tree.map(jnp.ones_like, params)
+    ups, _ = optimizer.update(grads, optimizer.init(params), params)
+    return float(np.abs(np.asarray(jax.tree.leaves(ups)[0])).max())
+
+
+def test_ctr_plateau_without_embedding_decay(ctr_dataset, tmp_path):
+    """The plateau drop must take effect even when embedding_decay is
+    unset (set_optimizer falls back to the base Coach): the rebuilt
+    optimizer's effective lr is the decayed one, not cfg.lr."""
+    from recboard_tpu.models.zoo import REGISTRY
+    from recboard_tpu.models.zoo.ctr import CTRCoach
+    from recboard_tpu.parser import Parser
+
+    p = Parser()
+    p.set_defaults(
+        description="DCN", root=str(tmp_path), dataset="SynCTR",
+        tasktag="PREDICTION", ranking="pool", epochs=2, batch_size=256,
+        lr=1e-2, eval_freq=1, log2file=False, log2console=False,
+        log_path=str(tmp_path / "logs"), checkpoint_path=str(tmp_path / "infos"),
+        monitors=["LOSS", "AUC"], which4best="AUC", seed=0,
+        lr_scheduler={"which": "plateau", "patience": 1, "factor": 0.5},
+    )
+    cfg = p.compile([])
+    model = REGISTRY["DCN"](ctr_dataset, embedding_dim=4, hidden_dims=(8,))
+    coach = CTRCoach(
+        dataset=ctr_dataset,
+        trainpipe=model.sure_trainpipe(cfg.batch_size),
+        validpipe=model.sure_validpipe(batch_size=512),
+        testpipe=None, model=model, cfg=cfg,
+    )
+    coach.train(0)
+    before = _adam_update_scale(coach.optimizer, coach.state.params)
+    coach._stopping_steps = 1
+    coach.train(1)
+    after = _adam_update_scale(coach.optimizer, coach.state.params)
+    assert after == pytest.approx(before * 0.5, rel=1e-3)
+    assert float(coach.cfg.lr) == pytest.approx(1e-2)  # cfg.lr untouched

@@ -65,3 +65,46 @@ def test_recommend_roundtrip(tiny_dataset, tmp_path, capsys):
     assert stats["metric"] == "recommend_latency_ms"
     assert stats["p50"] <= stats["p95"] <= stats["p99"]
     assert stats["users_per_s"] > 0
+
+    # bench staging is bounded: --bench-batches caps HBM residency
+    serve.main(["--run", str(run_dirs[-1]), "--bench", "--topk", "7",
+                "--batch-size", "4", "--bench-batches", "2"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line)["batches"] == 2
+
+
+def test_recommend_partial_checkpoint(tiny_dataset, tmp_path):
+    """E4SRecCoach saves only the trainable subset; `recommend` must
+    rebuild the frozen backbone from the run's seed, merge the subset,
+    and serve valid top-k lists (ADVICE r1: partial payloads previously
+    crashed serve.py on None leaves)."""
+    from recboard_tpu import run as run_mod
+    from recboard_tpu import serve, utils
+
+    root = tiny_dataset.root
+    I = tiny_dataset.fields["ITEM", "ID"].count
+    feats = np.random.default_rng(0).normal(size=(I, 12)).astype(np.float32)
+    tfile = "tiny_feats_serve.pkl"
+    utils.export_pickle(feats, os.path.join(tiny_dataset.path, tfile))
+    run_mod.main([
+        "--model", "E4SRec", "--root", root, "--dataset", tiny_dataset.dataset,
+        "--epochs", "2", "--lr", "0.005", "--maxlen", "8",
+        "--batch-size", "16", "--tfile", tfile,
+        "--backbone_dim", "32", "--num_blocks", "1", "--num-heads", "2",
+        "--lora_rank", "4",
+        "--log-path", str(tmp_path / "logs"),
+        "--checkpoint-path", str(tmp_path / "infos"),
+    ])
+    run_dirs = sorted(
+        (tmp_path / "logs" / "E4SRec" / tiny_dataset.dataset).iterdir()
+    )
+    out = tmp_path / "recs_partial.tsv"
+    serve.main([
+        "--run", str(run_dirs[-1]), "--topk", "5", "--output", str(out),
+    ])
+    rows = [line.split("\t") for line in out.read_text().strip().splitlines()]
+    assert rows
+    for r in rows:
+        items = [int(x) for x in r[1:]]
+        assert len(items) == 5 and len(set(items)) == 5
+        assert all(0 <= it < I for it in items)
