@@ -280,6 +280,12 @@ class Coach:
             {"params": init_rng, "dropout": drop_rng, "sampling": drop_rng}, arrays
         )
         params = variables["params"]
+        # host-side data-dependent re-init hook (k-means codebooks:
+        # LETTER/quantizer.py:34-58, R3-VAE/train_r3vae.py:88-98) — runs
+        # once, right after param init, before sharding/optimizer init
+        post = getattr(self.get_res_sys_arch(), "post_init_params", None)
+        if post is not None:
+            params = post(params)
         # non-param collections (BatchNorm running stats) ride TrainState
         stats = {k: v for k, v in variables.items() if k != "params"}
         rules = self.model.partition_rules()

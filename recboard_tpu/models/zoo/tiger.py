@@ -33,6 +33,7 @@ from ...launcher import Coach
 from ...sem.converter import SemIDConverter
 from ...sem.quantizers import (
     ProductQuantizer,
+    RatingResidualQuantizer,
     ResidualQuantizer,
     ResidualSimVQQuantizer,
 )
@@ -60,11 +61,23 @@ class RQVAE(RecSysArch):
     dropout_rate: float = 0.0
     commit_weight: float = 0.25
     quantization_strategy: str = "ste"  # ste|gumbel|rotation|simvq|product
+    apply_shared_codebook: bool = False
     sk_epsilons: Optional[Tuple[float, ...]] = None
     sk_iters: int = 50
     gumbel_temperature: float = 1.0
     collab_features: Optional[np.ndarray] = None  # (N, F'), frozen (LETTER)
     cf_weight: float = 0.0
+    # LETTER tokenizer knobs (LETTER/train_rqvae.py:19-30): k-means
+    # codebook init on the encoded latents + per-epoch codebook
+    # diversity clusters; both inert at the TIGER defaults
+    apply_kmeans_init: bool = False
+    kmeans_iters: int = 10
+    diversity_weight: float = 0.0
+    num_diversity_clusters: int = 10
+    act: str = "silu"  # TIGER SiLU; LETTER ReLU (train_rqvae.py:97)
+    recon_reduction: str = "sum"  # sum-MSE/B (TIGER) | mean (LETTER)
+    commit_reduction: str = "sum"
+    quant_normalize_loss: bool = True  # TIGER /L; LETTER raw sum
 
     def setup(self):
         feats = np.asarray(self.item_features, np.float32)
@@ -86,10 +99,13 @@ class RQVAE(RecSysArch):
             codebook_dim=self.codebook_dim,
             num_codebooks=self.num_codebooks,
             num_codewords=self.num_codewords,
+            apply_shared_codebook=self.apply_shared_codebook,
             commit_weight=self.commit_weight,
+            commit_reduction=self.commit_reduction,
             sk_iters=self.sk_iters,
             sk_epsilons=self.sk_epsilons,
             gumbel_temperature=self.gumbel_temperature,
+            normalize_loss=self.quant_normalize_loss,
         )
         if self.quantization_strategy == "simvq":
             self.quantizer = ResidualSimVQQuantizer(**kwargs)
@@ -97,8 +113,14 @@ class RQVAE(RecSysArch):
             self.quantizer = ProductQuantizer(**kwargs)
         else:
             self.quantizer = ResidualQuantizer(
-                estimator=self.quantization_strategy, **kwargs
+                estimator=self.quantization_strategy,
+                diversity_weight=self.diversity_weight,
+                **kwargs,
             )
+
+    @property
+    def _act(self):
+        return nn.relu if self.act == "relu" else nn.silu
 
     def sure_trainpipe(self, batch_size: int = 512):
         from ...data.pipes import RandomShuffledSource
@@ -115,7 +137,7 @@ class RQVAE(RecSysArch):
             x = self.dropout(x, deterministic=deterministic)
             x = layer(x)
             if i < len(self.enc_layers) - 1:
-                x = nn.silu(x)
+                x = self._act(x)
         return x
 
     def decode(self, q: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -123,7 +145,7 @@ class RQVAE(RecSysArch):
             q = self.dropout(q, deterministic=deterministic)
             q = layer(q)
             if i < len(self.dec_layers) - 1:
-                q = nn.silu(q)
+                q = self._act(q)
         return q * jax.lax.rsqrt(
             jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12
         )
@@ -132,9 +154,16 @@ class RQVAE(RecSysArch):
         items = data[self.Item].reshape(-1)
         x = self._feats[items]
         z = self.encode(x, deterministic=False)
-        q, aux_loss, ids = self.quantizer(z)
+        tables = data.get("diversity_tables")
+        if tables is not None and isinstance(self.quantizer, ResidualQuantizer):
+            q, aux_loss, ids = self.quantizer(z, diversity_tables=tables)
+        else:
+            q, aux_loss, ids = self.quantizer(z)
         x_hat = self.decode(q, deterministic=False)
-        recon = jnp.sum(jnp.square(x_hat - x)) / items.shape[0]
+        if self.recon_reduction == "mean":
+            recon = jnp.mean(jnp.square(x_hat - x))
+        else:
+            recon = jnp.sum(jnp.square(x_hat - x)) / items.shape[0]
         loss = recon + aux_loss
         logs = {"recon_loss": recon, "auxiliary_loss": aux_loss}
         if self.collab_features is not None and self.cf_weight > 0:
@@ -154,6 +183,92 @@ class RQVAE(RecSysArch):
         x = self._feats[items]
         z = self.encode(x)
         return self.quantizer.get_indices(z)
+
+    # ------------------------------------------ host-side init/refresh
+    def post_init_params(self, params):
+        """K-means codebook init (LETTER/quantizer.py:34-58): the
+        reference re-inits each codebook with constrained k-means on the
+        first batch's latents at the first forward; here the Coach calls
+        this right after param init (same moment, all-items latents for
+        coverage). Level l clusters the residual left by levels < l."""
+        if not self.apply_kmeans_init:
+            return params
+        if self.quantization_strategy in ("simvq",):
+            utils.warnLogger(
+                "[RQVAE] >>> apply_kmeans_init is not defined for SimVQ "
+                "(frozen base codebooks); skipping"
+            )
+            return params
+        from ...sem.kmeans import kmeans
+
+        feats = np.asarray(self.item_features, np.float64)
+        feats = feats / np.maximum(
+            np.linalg.norm(feats, axis=-1, keepdims=True), 1e-12
+        )
+        z = np.asarray(
+            self.apply(
+                {"params": params}, jnp.asarray(feats, jnp.float32),
+                method="encode",
+            ),
+            np.float64,
+        )
+        K = self.num_codewords
+        quant = dict(params["quantizer"])
+        if self.quantization_strategy == "product":
+            blocks = z.reshape(z.shape[0], self.num_codebooks, -1)
+            for l in range(self.num_codebooks):
+                size_min = max(1, min(len(z) // (K * 2), 50))
+                centers, _ = kmeans(
+                    blocks[:, l], min(K, len(z)), iters=self.kmeans_iters,
+                    seed=l, size_min=size_min,
+                )
+                quant[f"codebook_{l}"] = jnp.asarray(centers, jnp.float32)
+        else:
+            r = z
+            for l in range(self.num_codebooks):
+                size_min = max(1, min(len(r) // (K * 2), 50))
+                centers, labels = kmeans(
+                    r, min(K, len(r)), iters=self.kmeans_iters,
+                    seed=l, size_min=size_min,
+                )
+                quant[f"codebook_{l}"] = jnp.asarray(centers, jnp.float32)
+                r = r - centers[labels]
+                if self.apply_shared_codebook:
+                    break
+        new = dict(params)
+        new["quantizer"] = quant
+        return new
+
+    def build_diversity_tables(self, params):
+        """Per-epoch codebook clustering for the diversity loss
+        (LETTER/quantizer.py:60-91): constrained k-means over each
+        level's codewords → (labels (L,K), members (L,C,K), sizes (L,C))
+        padded tables the jitted step samples positives from."""
+        from ...sem.kmeans import kmeans
+
+        C = self.num_diversity_clusters
+        K = self.num_codewords
+        n_books = 1 if self.apply_shared_codebook else self.num_codebooks
+        labels_all, members_all, sizes_all = [], [], []
+        for l in range(n_books):
+            cb = np.asarray(params["quantizer"][f"codebook_{l}"], np.float64)
+            size_min = max(1, min(K // (C * 2), 10))
+            _, labels = kmeans(cb, C, iters=10, seed=l, size_min=size_min)
+            members = np.zeros((C, K), np.int32)
+            sizes = np.zeros((C,), np.int32)
+            for c in range(C):
+                idx = np.where(labels == c)[0]
+                members[c, : len(idx)] = idx
+                sizes[c] = len(idx)
+            labels_all.append(labels.astype(np.int32))
+            members_all.append(members)
+            sizes_all.append(sizes)
+        reps = self.num_codebooks // n_books
+        return (
+            np.stack(labels_all * reps),
+            np.stack(members_all * reps),
+            np.stack(sizes_all * reps),
+        )
 
     def recommend_from_full(self, data, buffers=None):
         raise NotImplementedError("RQVAE is a tokenizer, not a recommender")
@@ -204,21 +319,190 @@ class RQVAECoach(Coach):
         return file_
 
 
+class LETTERCoach(RQVAECoach):
+    """LETTER stage-A coach: re-clusters each codebook for the diversity
+    loss before every epoch (CoachForRQVAE.train_per_epoch,
+    LETTER/train_rqvae.py:236) and threads the padded cluster tables
+    into the jitted step as batch entries."""
+
+    def train(self, epoch: int):
+        model = self.get_res_sys_arch()
+        if model.diversity_weight > 0 and self.state is not None:
+            self._div_tables = model.build_diversity_tables(self.state.params)
+        return super().train(epoch)
+
+    def train_per_epoch(self, epoch: int) -> None:
+        model = self.get_res_sys_arch()
+        if model.diversity_weight <= 0:
+            return super().train_per_epoch(epoch)
+        from ...data.pipes import Size
+
+        if not hasattr(self, "_train_step_fn"):
+            self._train_step_fn = None
+        for data in self.dataloader:
+            n = int(data.get(Size, 1))
+            batch = {
+                f: jnp.asarray(v)
+                for f, v in data.items()
+                if isinstance(v, np.ndarray) and f != Size
+            }
+            self._init_state(batch)
+            if getattr(self, "_div_tables", None) is None:
+                self._div_tables = model.build_diversity_tables(
+                    self.state.params
+                )
+            batch["diversity_tables"] = tuple(
+                jnp.asarray(t) for t in self._div_tables
+            )
+            if self._train_step_fn is None:
+                self._train_step_fn = self._make_train_step()
+            self._rng, rng = jax.random.split(self._rng)
+            self.state, loss, logs = self._train_step_fn(self.state, batch, rng)
+            self.monitor(
+                float(loss), n=n, reduction="mean", mode="train", pool=["LOSS"]
+            )
+
+
 @register("LETTER")
 class LETTERTokenizer(RQVAE):
-    """LETTER = TIGER + collaborative-embedding alignment in the
-    tokenizer (LETTER/train_rqvae.py:53-190). Stage B reuses TIGER's
-    generator over the emitted sid_vocab."""
+    """LETTER tokenizer = TIGER RQ-VAE + collaborative alignment +
+    k-means codebook init + per-epoch codebook diversity loss
+    (LETTER/train_rqvae.py:14-50, LETTER/quantizer.py). Defaults mirror
+    LETTER/train_rqvae.py argparse; stage B reuses TIGER's generator
+    over the emitted sid_vocab. Reductions follow the reference exactly:
+    mean-MSE recon/commit (F.mse_loss default) and an UN-normalized
+    per-level aux sum (LETTER/quantizer.py:250), unlike TIGER's
+    sum-MSE/B and /num_codebooks."""
 
     cf_weight: float = 0.01
+    dropout_rate: float = 0.1
+    apply_kmeans_init: bool = True
+    diversity_weight: float = 0.0001
+    sk_epsilons: Optional[Tuple[float, ...]] = (0.0, 0.0, 0.003)
+    act: str = "relu"
+    recon_reduction: str = "mean"
+    commit_reduction: str = "mean"
+    quant_normalize_loss: bool = False
 
 
 @register("R3-VAE")
-class R3VAETokenizer(RQVAE):
-    """R3-VAE = TIGER with the rotation-trick RQ-VAE tokenizer
-    (R3-VAE/train_r3vae.py:47); stage B reuses TIGER's generator."""
+class R3VAE(RecSysArch):
+    """R3-VAE: reference-vector-guided residual RATING quantization
+    (R3-VAE/train_r3vae.py:47-161 + R3-VAE/quantizer.py:66-167) —
+    identity encoder over L2-normalized frozen semantic features, a
+    RatingResidualQuantizer (top-1 cosine codeword scaled by its cosine
+    score; differentiable, no STE), a 4x-expansion MLP decoder, and
+    rec (1-cos) + SC (semantic cohesion) + PD (preference
+    discrimination) losses. Codebooks k-means-initialized from the
+    residuals of the first 5*num_codewords items (reset_parameters,
+    train_r3vae.py:81-98) — constrained k-means in the reference, plain
+    balanced Lloyd here (k_means_constrained is not in this image).
+    Stage B reuses TIGER's generator over the emitted sid_vocab."""
 
-    quantization_strategy: str = "rotation"
+    item_features: Optional[np.ndarray] = None  # (N, F), frozen
+    num_codebooks: int = 3
+    num_codewords: int = 256
+    pd_temperature: float = 2.0
+    rec_loss_weight: float = 1.0
+    sc_loss_weight: float = 0.1
+    pd_loss_weight: float = 0.05
+    kmeans_iters: int = 10
+
+    def setup(self):
+        feats = np.asarray(self.item_features, np.float32)
+        feats = feats / np.maximum(
+            np.linalg.norm(feats, axis=-1, keepdims=True), 1e-12
+        )
+        self._feats = jnp.asarray(feats)
+        F_dim = feats.shape[1]
+        self.quantizer = RatingResidualQuantizer(
+            codebook_dim=F_dim,
+            num_codebooks=self.num_codebooks,
+            num_codewords=self.num_codewords,
+            pd_temperature=self.pd_temperature,
+        )
+        xavier_uniform = nn.initializers.xavier_uniform()
+        self.dec_hidden = nn.Dense(F_dim * 4, kernel_init=xavier_uniform)
+        self.dec_out = nn.Dense(F_dim, kernel_init=xavier_uniform)
+
+    def sure_trainpipe(self, batch_size: int = 512):
+        from ...data.pipes import RandomShuffledSource
+
+        rows = self.dataset.to_rows({self.Item: list(range(self.Item.count))})
+        return (
+            RandomShuffledSource(self.dataset.train(), rows)
+            .batch_(batch_size)
+            .tensor_()
+        )
+
+    def decode(self, q: jnp.ndarray) -> jnp.ndarray:
+        return self.dec_out(nn.relu(self.dec_hidden(q)))
+
+    def fit(self, data: Batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        items = data[self.Item].reshape(-1)
+        x = self._feats[items]
+        q, sc_loss, pd_loss, _ = self.quantizer(x)
+        x_hat = self.decode(q)
+        num = jnp.sum(x_hat * x, axis=-1)
+        den = jnp.maximum(
+            jnp.linalg.norm(x_hat, axis=-1) * jnp.linalg.norm(x, axis=-1), 1e-8
+        )
+        rec_loss = 1.0 - jnp.mean(num / den)
+        loss = (
+            rec_loss * self.rec_loss_weight
+            + sc_loss * self.sc_loss_weight
+            + pd_loss * self.pd_loss_weight
+        )
+        return loss, {
+            "rec_loss": rec_loss, "sc_loss": sc_loss, "pd_loss": pd_loss
+        }
+
+    def codes_of(self, items: jnp.ndarray) -> jnp.ndarray:
+        return self.quantizer.get_indices(self._feats[items])
+
+    def post_init_params(self, params):
+        """K-means codebook init on residuals of the first 5K items,
+        level by level with the already-initialized levels applied
+        (reference reset_parameters → first quantizer forward with
+        requires_kmeans_init_, train_r3vae.py:88-98)."""
+        from ...sem.kmeans import kmeans
+
+        feats = np.asarray(self.item_features, np.float64)
+        feats = feats / np.maximum(
+            np.linalg.norm(feats, axis=-1, keepdims=True), 1e-12
+        )
+        x = feats[: self.num_codewords * 5]
+        quant = dict(params["quantizer"])
+        ref = np.asarray(quant["reference_vector"], np.float64)
+        refn = ref / max(np.linalg.norm(ref), 1e-12)
+        vals = x @ refn.T  # (B, 1)
+        r = x - vals * refn
+        K = self.num_codewords
+        for l in range(self.num_codebooks):
+            size_min = max(1, min(len(r) // (K * 2), 50))
+            centers, _ = kmeans(
+                r, min(K, len(r)), iters=self.kmeans_iters, seed=l,
+                size_min=size_min,
+            )
+            quant[f"codebook_{l}"] = jnp.asarray(centers, jnp.float32)
+            cbn = centers / np.maximum(
+                np.linalg.norm(centers, axis=-1, keepdims=True), 1e-12
+            )
+            rn = r / np.maximum(
+                np.linalg.norm(r, axis=-1, keepdims=True), 1e-12
+            )
+            scores = rn @ cbn.T
+            idx = scores.argmax(axis=-1)
+            w = scores[np.arange(len(r)), idx]
+            r = r - w[:, None] * cbn[idx]
+        new = dict(params)
+        new["quantizer"] = quant
+        return new
+
+    def recommend_from_full(self, data, buffers=None):
+        raise NotImplementedError("R3-VAE is a tokenizer, not a recommender")
+
+    recommend_from_pool = recommend_from_full
 
 
 @register("TIGER")
@@ -377,3 +661,10 @@ class TIGER(SeqRecArch):
         mask = (tgt != conv.pad_id).astype(jnp.float32)
         scores = (picked * mask).sum(-1) / jnp.maximum(mask.sum(-1), 1.0)
         return scores.reshape(B, K)
+
+
+# tokenizer-stage models route to the stage-A coach through the CLI
+# (run.py COACH convention); TIGER itself uses the base Coach
+RQVAE.COACH = RQVAECoach
+LETTERTokenizer.COACH = LETTERCoach
+R3VAE.COACH = RQVAECoach

@@ -25,6 +25,7 @@ __all__ = [
     "ResidualQuantizer",
     "ResidualSimVQQuantizer",
     "ProductQuantizer",
+    "RatingResidualQuantizer",
 ]
 
 
@@ -86,9 +87,13 @@ def rotation_trick(z: jnp.ndarray, q: jnp.ndarray, eps: float = 1e-8) -> jnp.nda
     return scale * (z - 2 * z_on_r + 2 * z_on_u_to_v)
 
 
-def _commit(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """sum-MSE(x, stopgrad(y)) / B (TIGER/quantizer.py:147-148)."""
-    return jnp.sum(jnp.square(x - jax.lax.stop_gradient(y))) / x.shape[0]
+def _commit(x: jnp.ndarray, y: jnp.ndarray, reduction: str = "sum") -> jnp.ndarray:
+    """MSE(x, stopgrad(y)): 'sum' = sum-MSE / B (TIGER/quantizer.py:147-148),
+    'mean' = element mean (LETTER/quantizer.py:192-193 F.mse_loss)."""
+    sq = jnp.square(x - jax.lax.stop_gradient(y))
+    if reduction == "mean":
+        return jnp.mean(sq)
+    return jnp.sum(sq) / x.shape[0]
 
 
 class _QuantizerBase(nn.Module):
@@ -97,11 +102,19 @@ class _QuantizerBase(nn.Module):
     num_codewords: int = 256
     apply_shared_codebook: bool = False
     commit_weight: float = 0.25
+    commit_reduction: str = "sum"  # "sum" (TIGER) | "mean" (LETTER)
     sk_iters: int = 50
     sk_epsilons: Optional[Sequence[float]] = None
     gumbel_temperature: float = 1.0
     estimator: str = "ste"  # ste | gumbel | rotation
     codebook_init: Optional[Callable] = None  # fn(rng, shape) e.g. k-means centers
+    # LETTER codebook diversity loss (LETTER/quantizer.py:111-135):
+    # per-level cluster tables are threaded in at call time (they are
+    # host-refreshed per epoch, not params)
+    diversity_weight: float = 0.0
+    # TIGER divides the aux loss by num_codebooks (quantizer.py:186);
+    # LETTER returns the raw per-level sum (LETTER/quantizer.py:250)
+    normalize_loss: bool = True
 
     def _init(self):
         if self.codebook_init is not None:
@@ -147,16 +160,48 @@ class _QuantizerBase(nn.Module):
             return rotation_trick(z_res, c)
         return straight_through(z_res, c)
 
+    def _diversity_loss(self, c, ids_, codebook, tables, level, rng):
+        """LETTER diversity loss for one level (LETTER/quantizer.py:111-135):
+        for each assigned codeword, a random same-cluster positive is the
+        CE target over the selected vector's logits against the codebook
+        (own codeword masked out). The reference samples positives with
+        host-side random.choice per row; here the per-cluster membership
+        is a padded (C, M) table so sampling is one vectorized randint —
+        no host work inside the step."""
+        labels, members, sizes = tables  # (L, K), (L, C, M), (L, C)
+        lab = labels[level][ids_]                       # (B,)
+        size = sizes[level][lab]                        # (B,)
+        row_members = members[level][lab]               # (B, M)
+        own_pos = jnp.argmax(row_members == ids_[:, None], axis=-1)
+        # uniform over cluster members excluding self: draw in [0, size-2]
+        # then skip past own position
+        j = jax.random.randint(rng, ids_.shape, 0, jnp.maximum(size - 1, 1))
+        j = j + (j >= own_pos)
+        j = jnp.minimum(j, jnp.maximum(size - 1, 0))
+        positive = jnp.take_along_axis(row_members, j[:, None], axis=-1)[:, 0]
+        logits = jnp.einsum(
+            "bd,kd->bk", c, codebook, preferred_element_type=jnp.float32
+        )
+        own = jax.nn.one_hot(ids_, self.num_codewords, dtype=bool)
+        logits = jnp.where(own, -1.0e4, logits)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(logp, positive[:, None], axis=-1)[:, 0]
+        valid = (size > 1).astype(ce.dtype)  # singleton cluster: no positive
+        return jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
 
 class ResidualQuantizer(_QuantizerBase):
     """Residual VQ: L levels of quantizing the running residual
     (TIGER/quantizer.py:160-221); estimator selects STE/Gumbel/rotation."""
 
-    def __call__(self, z: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    def __call__(
+        self, z: jnp.ndarray, diversity_tables=None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         books = self._codebooks()
         rng = (
             self.make_rng("sampling")
             if self.estimator == "gumbel"
+            or (self.diversity_weight > 0 and diversity_tables is not None)
             else None
         )
         loss = 0.0
@@ -170,10 +215,20 @@ class ResidualQuantizer(_QuantizerBase):
                 jax.random.fold_in(rng, l) if rng is not None else None,
             )
             z_hat = z_hat + q
-            loss = loss + _commit(c, z_res) + _commit(z_res, c) * self.commit_weight
+            loss = (
+                loss
+                + _commit(c, z_res, self.commit_reduction)
+                + _commit(z_res, c, self.commit_reduction) * self.commit_weight
+            )
+            if self.diversity_weight > 0 and diversity_tables is not None:
+                loss = loss + self.diversity_weight * self._diversity_loss(
+                    c, ids_, books[l], diversity_tables, l,
+                    jax.random.fold_in(rng, 100 + l),
+                )
             z_res = z_res - q
             ids.append(ids_)
-        return z_hat, loss / self.num_codebooks, jnp.stack(ids, axis=-1)
+        denom = self.num_codebooks if self.normalize_loss else 1
+        return z_hat, loss / denom, jnp.stack(ids, axis=-1)
 
     def get_indices(self, z: jnp.ndarray) -> jnp.ndarray:
         books = self._codebooks()
@@ -286,5 +341,114 @@ class ProductQuantizer(_QuantizerBase):
         ids = []
         for l in range(self.num_codebooks):
             ids_, _, _ = self.match(z[:, l, :], books[l], l)
+            ids.append(ids_)
+        return jnp.stack(ids, axis=-1)
+
+
+def _l2n(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
+
+
+def _cosine(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    num = jnp.sum(a * b, axis=-1)
+    den = jnp.maximum(
+        jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1), eps
+    )
+    return num / den
+
+
+def preference_discrimination_loss(
+    codebook: jnp.ndarray, temperature: float = 2.0
+) -> jnp.ndarray:
+    """Spread codewords over the unit sphere (R3-VAE/quantizer.py:161-167):
+    log-mean of exp(-T * pairwise cosine distance) over off-diagonal pairs."""
+    x = _l2n(codebook)
+    sim = jnp.einsum("kd,md->km", x, x, preferred_element_type=jnp.float32)
+    cos_dist = 1.0 - sim
+    K = codebook.shape[0]
+    off = ~jnp.eye(K, dtype=bool)
+    vals = jnp.exp(-temperature * cos_dist)
+    return jnp.log(jnp.sum(vals * off) / jnp.maximum(off.sum(), 1))
+
+
+class RatingResidualQuantizer(nn.Module):
+    """R3-VAE's reference-vector-guided residual rating quantizer
+    (R3-VAE/quantizer.py:66-158): the normalized latent is decoupled into
+    its projection onto a learnable reference vector plus a residual;
+    each level picks the top-1 cosine codeword from a NORMALIZED codebook
+    and adds it back scaled by its cosine score (the "rating") — fully
+    differentiable through the score, no straight-through estimator.
+    Returns (z_hat, sc_loss, pd_loss, ids): SC = per-level cosine cohesion
+    of the cumulative reconstruction to the residual target; PD spreads
+    each codebook over the sphere.
+
+    TPU note: the per-level top-1 is one (B, K) matmul + argmax on the
+    MXU; no gathers beyond the single (B,) codeword pick."""
+
+    codebook_dim: int
+    num_codebooks: int = 3
+    num_codewords: int = 256
+    pd_temperature: float = 2.0
+
+    def setup(self):
+        self.reference_vector = self.param(
+            "reference_vector",
+            lambda k, s: jax.random.uniform(k, s, minval=-1.0, maxval=1.0),
+            (1, self.codebook_dim),
+        )
+        # torch init: U(-1/(l+1), 1/(l+1)) per level (quantizer.py:116-119);
+        # k-means re-init happens host-side via post_init_params
+        self._books = [
+            self.param(
+                f"codebook_{l}",
+                (lambda bound: lambda k, s: jax.random.uniform(
+                    k, s, minval=-bound, maxval=bound
+                ))(1.0 / (l + 1)),
+                (self.num_codewords, self.codebook_dim),
+            )
+            for l in range(self.num_codebooks)
+        ]
+
+    def decouple(self, z: jnp.ndarray):
+        z = _l2n(z)
+        ref = _l2n(self.reference_vector)
+        values = jnp.sum(z * ref, axis=-1, keepdims=True)
+        reference_out = values * ref
+        return z - reference_out, reference_out
+
+    def _match(self, z_res: jnp.ndarray, codebook: jnp.ndarray):
+        cb = _l2n(codebook)
+        r = _l2n(z_res)
+        scores = jnp.einsum(
+            "bd,kd->bk", r, cb, preferred_element_type=jnp.float32
+        )
+        w, idx = jax.lax.top_k(scores, 1)  # (B, 1) rating + index
+        q = w * cb[idx[:, 0]]
+        return idx[:, 0], q
+
+    def __call__(self, z: jnp.ndarray):
+        z_res, z_hat = self.decouple(z)
+        target = z_res
+        ids = []
+        sc_loss = 0.0
+        pd_loss = 0.0
+        L = self.num_codebooks
+        for l in range(L):
+            ids_, q = self._match(z_res, self._books[l])
+            z_hat = z_hat + q
+            z_res = z_res - q
+            ids.append(ids_)
+            sc_loss = sc_loss + (1.0 - _cosine(target, z_hat).mean())
+            pd_loss = pd_loss + preference_discrimination_loss(
+                self._books[l], self.pd_temperature
+            )
+        return z_hat, sc_loss / L, pd_loss / L, jnp.stack(ids, axis=-1)
+
+    def get_indices(self, z: jnp.ndarray) -> jnp.ndarray:
+        z_res, _ = self.decouple(z)
+        ids = []
+        for l in range(self.num_codebooks):
+            ids_, q = self._match(z_res, self._books[l])
+            z_res = z_res - q
             ids.append(ids_)
         return jnp.stack(ids, axis=-1)
