@@ -208,6 +208,10 @@ class Coach:
     def set_other(self) -> None:
         """Custom metrics/state hook (TIGER/train_rqvae.py:224-230)."""
 
+    def post_training(self) -> None:
+        """Extra phase after the main epoch loop, before the final evals
+        (override point; ETEGRecCoach's code-loss finetune)."""
+
     # ------------------------------------------------------- rank helpers
     def get_res_sys_arch(self):
         """DDP-unwrap analogue — the model itself (E4SRec/main.py:228)."""
@@ -1050,6 +1054,9 @@ class Coach:
 
         self._join_checkpoint_writer()
         self.save_last()
+        # optional extra training phase (ETEGRec's code-loss finetune,
+        # train_etegrec.py:583-624); default no-op
+        self.post_training()
 
         # final eval at last state
         if self.validpipe is not None:

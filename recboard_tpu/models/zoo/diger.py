@@ -41,7 +41,7 @@ class DIGER(ETEGRec):
         super().setup()
         self.sigma = self.param("sigma", nn.initializers.ones, (1,))
 
-    def fit(self, data, train_id: bool = True):
+    def fit(self, data, train_id: bool = True, warmed: bool = True):
         item_code = data["item_code"]
         seqs = data[self.ISeq]
         B = seqs.shape[0]
@@ -89,16 +89,107 @@ class DIGER(ETEGRec):
 
 
 class DIGERCoach(ETEGRecCoach):
-    """Refreshes semantic IDs before every epoch; joint optimization
-    (no alternating phases)."""
+    """Refreshes semantic IDs before every epoch; JOINT optimization —
+    one AdamW over param-group lrs (CoachForDIGER.set_optimizer,
+    DIGER/main.py:420-460: t5 @ lr, id tokenizer @ lr_id, sigma @
+    lr_sigma) with global-norm clip 1.0 (main.py:475); the item
+    embedding table stays frozen (main.py:144-145) and the ID encoder
+    freezes under --freeze_id_encoder. --rqvae_path transplants a
+    stage-A RQVAE checkpoint into the encoder/codebooks
+    (load_id_tokenizer, main.py:164-189)."""
 
     cycle: int = 1
+
+    def _param_group(self, path) -> str:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "semantic_embedding" in name:
+            return "frozen"
+        if "sigma" in name.lower():
+            return "sigma"
+        if name.startswith("rq/") or name.startswith("dec_layers"):
+            return "id"
+        if name.startswith("enc_layers"):
+            return (
+                "frozen"
+                if bool(self.cfg.get("freeze_id_encoder", False))
+                else "id"
+            )
+        return "rec"
+
+    def set_optimizer(self) -> None:
+        import optax
+
+        cfg = self.cfg
+        wd = float(cfg.get("weight_decay", 0.0) or 0.0)
+        lr_rec = float(cfg.get("lr_rec") or cfg.lr)
+        lr_id = float(cfg.get("lr_id") or lr_rec)
+        lr_sigma = float(cfg.get("lr_sigma") or lr_id)
+
+        def branch(lr):
+            return optax.chain(
+                optax.clip_by_global_norm(1.0),
+                optax.adamw(lr, weight_decay=wd),
+            )
+
+        joint = optax.multi_transform(
+            {"rec": branch(lr_rec), "id": branch(lr_id),
+             "sigma": branch(lr_sigma), "frozen": optax.set_to_zero()},
+            self._label_fn,
+        )
+        # DIGER is single-phase: both phase slots point at the same
+        # joint optimizer so the inherited (phase-keyed) step fns work
+        self.rec_optimizer = joint
+        self.id_optimizer = joint
+        self.optimizer = optax.GradientTransformation(
+            init=lambda p: {"rec": joint.init(p), "id": joint.init(p)},
+            update=self._template_update,
+        )
+
+    def _init_state_eteg(self, batch):
+        fresh = self.state is None
+        super()._init_state_eteg(batch)
+        rqvae_path = self.cfg.get("rqvae_path")
+        if fresh and rqvae_path:
+            self._load_stage_a(str(rqvae_path))
+            self.refresh_item_codes()
+
+    def _load_stage_a(self, path: str) -> None:
+        """Transplant a stage-A RQVAE pickle (RQVAECoach.save payload)
+        into the joint model's encoder/codebooks."""
+        import numpy as np
+
+        from ... import utils
+        from ...launcher.coach import TrainState
+
+        payload = utils.import_pickle(path)
+        src = payload["params"] if isinstance(payload, dict) else payload
+        params = dict(self.state.params)
+        moved = 0
+        for k, v in src.items():
+            if k.startswith("enc_layers") and k in params:
+                params[k] = jax.tree.map(jnp.asarray, v)
+                moved += 1
+        if "quantizer" in src and "rq" in params:
+            rq = dict(params["rq"])
+            for k, v in src["quantizer"].items():
+                if k in rq:
+                    rq[k] = jnp.asarray(np.asarray(v))
+                    moved += 1
+            params["rq"] = rq
+        utils.infoLogger(f"[DIGER] >>> transplanted {moved} stage-A tensors")
+        self.state = TrainState(
+            params, self.state.opt_state, self.state.step, self.state.stats
+        )
 
     def train(self, epoch: int):
         if self.state is not None:
             self.refresh_item_codes()
         self._train_id = True
+        self._warmed = True
         return super(ETEGRecCoach, self).train(epoch)
+
+    def post_training(self) -> None:
+        """DIGER has no finetune phase (DIGER/main.py fit loop)."""
 
 
 DIGER.COACH = DIGERCoach

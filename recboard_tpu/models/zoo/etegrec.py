@@ -86,10 +86,22 @@ class ETEGRec(SeqRecArch):
     remat: bool = False  # rematerialize seq2seq blocks (large-batch HBM)
     num_beams: int = 20
     temperature: float = 0.07
-    kl_weight: float = 1e-3
-    dec_cl_weight: float = 1e-3
     quant_loss_weight: float = 1.0
     tokenizer_estimator: str = "ste"
+    # per-phase loss weights (train_etegrec.py:72-83 argparse defaults);
+    # the id phase trains the tokenizer on vq (+ cross terms once
+    # warmed), the rec phase trains the generator on code CE
+    id_vq_loss: float = 1.0
+    id_code_loss: float = 0.0
+    id_kl_loss: float = 1e-4
+    id_dec_cl_loss: float = 3e-4
+    rec_vq_loss: float = 0.0
+    rec_code_loss: float = 1.0
+    rec_kl_loss: float = 1e-4
+    rec_dec_cl_loss: float = 3e-4
+    sim: str = "cos"  # dec_cl similarity: cos | dot (train_etegrec.py:83)
+    kmeans_init: bool = False  # k-means codebook init (ETEGRec rqvae cfg)
+    kmeans_iters: int = 100
 
     # token layout: 0 PAD, then level l code c → 1 + l*K + c; check digit
     # level gets its own block
@@ -207,9 +219,44 @@ class ETEGRec(SeqRecArch):
         )
 
     # ------------------------------------------------------------ training
-    def fit(self, data: Batch, train_id: bool = False):
+    def post_init_params(self, params):
+        """Optional k-means codebook init on the (frozen-at-init)
+        semantic table's encoded latents (ETEGRec/configs/rqvae kmeans_init)."""
+        if not self.kmeans_init:
+            return params
+        from ...sem.kmeans import kmeans
+
+        feats = np.asarray(self.item_features, np.float64)
+        z_in = np.concatenate(
+            [np.zeros((self.NUM_PADS, feats.shape[1])), feats], axis=0
+        )[self.NUM_PADS:]
+        z = np.asarray(
+            self.apply(
+                {"params": params}, jnp.asarray(z_in, jnp.float32),
+                method="tok_encode",
+            ),
+            np.float64,
+        )
+        K = self.num_codewords
+        rq = dict(params["rq"])
+        r = z
+        for l in range(self.num_codebooks):
+            centers, labels = kmeans(
+                r, min(K, len(r)), iters=min(self.kmeans_iters, 50), seed=l
+            )
+            rq[f"codebook_{l}"] = jnp.asarray(centers, jnp.float32)
+            r = r - centers[labels]
+        new = dict(params)
+        new["rq"] = rq
+        return new
+
+    def fit(self, data: Batch, train_id: bool = False, warmed: bool = True):
         """`all_item_code` (N+1, code_length) is threaded by the Coach as
-        a batch entry ('item_code'); -1 marks the PAD item row."""
+        a batch entry ('item_code'); -1 marks the PAD item row. The
+        (train_id, warmed) flags select the reference's per-phase loss
+        weights (train_per_epoch, train_etegrec.py:491-516): id phase =
+        tokenizer vq (+ warmed cross terms), rec phase = code CE (+
+        warmed cross terms)."""
         item_code = data["item_code"]  # (N+1, Lc)
         seqs = data[self.ISeq]
         B = seqs.shape[0]
@@ -255,8 +302,9 @@ class ETEGRec(SeqRecArch):
 
         dec_latent = self.dec_project(dec_hidden[:, -1, :])  # (B, F)
         def cl(a, b):
-            a = a * jax.lax.rsqrt(jnp.sum(a * a, -1, keepdims=True) + 1e-12)
-            b = b * jax.lax.rsqrt(jnp.sum(b * b, -1, keepdims=True) + 1e-12)
+            if self.sim == "cos":
+                a = a * jax.lax.rsqrt(jnp.sum(a * a, -1, keepdims=True) + 1e-12)
+                b = b * jax.lax.rsqrt(jnp.sum(b * b, -1, keepdims=True) + 1e-12)
             sim = jnp.einsum("md,nd->mn", a, b) / self.temperature
             labels = jnp.arange(a.shape[0], dtype=jnp.int32)
             return criterions.cross_entropy_with_logits(sim, labels)
@@ -266,12 +314,28 @@ class ETEGRec(SeqRecArch):
         recon_loss = jnp.mean(jnp.square(target_recon - target_feats))
         vq_total = recon_loss + self.quant_loss_weight * vq_loss
 
-        loss = (
-            code_loss
-            + self.kl_weight * kl_loss
-            + self.dec_cl_weight * dec_cl_loss
-            + (vq_total if train_id else 0.0)
-        )
+        if train_id:
+            w_vq = self.id_vq_loss
+            w_code = self.id_code_loss if warmed else 0.0
+            w_kl = self.id_kl_loss if warmed else 0.0
+            w_cl = self.id_dec_cl_loss if warmed else 0.0
+        else:
+            w_vq = self.rec_vq_loss
+            w_code = self.rec_code_loss
+            w_kl = self.rec_kl_loss if warmed else 0.0
+            w_cl = self.rec_dec_cl_loss if warmed else 0.0
+        # python-float weights: zero terms drop out of the jaxpr entirely
+        loss = 0.0
+        if w_code:
+            loss = loss + w_code * code_loss
+        if w_kl:
+            loss = loss + w_kl * kl_loss
+        if w_cl:
+            loss = loss + w_cl * dec_cl_loss
+        if w_vq:
+            loss = loss + w_vq * vq_total
+        if not hasattr(loss, "dtype"):  # all weights zero: keep it traced
+            loss = 0.0 * code_loss
         return loss, {
             "code_loss": code_loss,
             "kl_loss": kl_loss,
@@ -371,15 +435,138 @@ class ETEGRec(SeqRecArch):
 
 
 class ETEGRecCoach(Coach):
-    """Alternating id/rec cycles; refreshes item codes (+ trie) per
-    cycle (CoachForETEGRec, train_etegrec.py:478-545)."""
+    """Alternating id/rec cycles (CoachForETEGRec, train_etegrec.py:
+    407-653): the id phase runs every `cycle`-th epoch and refreshes the
+    item codes (+ trie) at its end; each phase has its OWN AdamW (+
+    warmup scheduler + global-norm clip 1.0) over its own param subset
+    (tokenizer vs generator, semantic table frozen); cross losses are
+    gated off until `warm_epoch`."""
 
     cycle: int = 2
 
     def set_other(self):
         self._train_id = False
+        self._warmed = True
         self._item_code = None
         self._trie = None
+
+    # --------------------------------------------------- phase optimizers
+    @staticmethod
+    def _param_group(path) -> str:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "semantic_embedding" in name:
+            return "frozen"
+        if (
+            name.startswith("rq/")
+            or name.startswith("enc_layers")
+            or name.startswith("dec_layers")
+        ):
+            return "id"
+        return "rec"
+
+    def _label_fn(self, params):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, _: self._param_group(p), params
+        )
+
+    def _schedule(self, lr: float, total: int, warmup: int):
+        import optax
+
+        kind = str(self.cfg.get("lr_scheduler_type", "cosine")).lower()
+        warmup = max(int(warmup), 0)
+        total = max(int(total), warmup + 1)
+        if kind == "constant":
+            if not warmup:
+                return lr
+            return optax.join_schedules(
+                [optax.linear_schedule(0.0, lr, warmup),
+                 optax.constant_schedule(lr)],
+                [warmup],
+            )
+        if kind == "linear":
+            return optax.join_schedules(
+                [optax.linear_schedule(0.0, lr, warmup),
+                 optax.linear_schedule(lr, 0.0, total - warmup)],
+                [warmup],
+            )
+        return optax.warmup_cosine_decay_schedule(0.0, lr, warmup, total)
+
+    def _steps_per_epoch(self) -> int:
+        # roll-seq windows ≈ one per train interaction
+        return max(1, len(self.dataset.train()) // max(int(self.cfg.batch_size), 1))
+
+    def set_optimizer(self) -> None:
+        import optax
+
+        cfg = self.cfg
+        wd = float(cfg.get("weight_decay", 0.0) or 0.0)
+        cyc = max(int(cfg.get("cycle", self.cycle)), 1)
+        spe = self._steps_per_epoch()
+        rec_total = int(cfg.epochs) * spe
+        id_total = max(rec_total // cyc, 1)
+        warmup = int(cfg.get("warmup_steps", 8000))
+        lr_rec = float(cfg.get("lr_rec") or cfg.lr)
+        lr_id = float(cfg.get("lr_id") or cfg.lr)
+
+        def branch(lr, total, warm):
+            return optax.chain(
+                optax.clip_by_global_norm(1.0),
+                optax.adamw(self._schedule(lr, total, warm), weight_decay=wd),
+            )
+
+        self.rec_optimizer = optax.multi_transform(
+            {"rec": branch(lr_rec, rec_total, warmup),
+             "id": optax.set_to_zero(), "frozen": optax.set_to_zero()},
+            self._label_fn,
+        )
+        self.id_optimizer = optax.multi_transform(
+            {"id": branch(lr_id, id_total, max(warmup // cyc, 0)),
+             "rec": optax.set_to_zero(), "frozen": optax.set_to_zero()},
+            self._label_fn,
+        )
+        # template optimizer: init carries BOTH phases' states; update is
+        # never used (this coach builds phase-specific steps)
+        self.optimizer = optax.GradientTransformation(
+            init=lambda p: {
+                "rec": self.rec_optimizer.init(p),
+                "id": self.id_optimizer.init(p),
+            },
+            update=self._template_update,
+        )
+
+    @staticmethod
+    def _template_update(grads, state, params=None):
+        raise RuntimeError(
+            "ETEGRecCoach routes updates through per-phase optimizers"
+        )
+
+    def _make_train_step(self):
+        import optax
+
+        phase = "id" if self._train_id else "rec"
+        opt = self.id_optimizer if self._train_id else self.rec_optimizer
+        from ...launcher.coach import TrainState
+
+        def step(state, batch, rng):
+            def fn(p):
+                return self.loss_of(p, batch, rng)
+
+            (loss, logs), grads = jax.value_and_grad(fn, has_aux=True)(
+                state.params
+            )
+            updates, opt_sub = opt.update(
+                grads, state.opt_state[phase], state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            opt_state = dict(state.opt_state)
+            opt_state[phase] = opt_sub
+            return (
+                TrainState(params, opt_state, state.step + 1, state.stats),
+                loss,
+                logs,
+            )
+
+        return jax.jit(step, donate_argnums=0)
 
     def refresh_item_codes(self):
         model = self.get_res_sys_arch()
@@ -439,18 +626,83 @@ class ETEGRecCoach(Coach):
             {"params": params},
             batch,
             self._train_id,
+            getattr(self, "_warmed", True),
             method="fit",
             rngs={"dropout": rng, "sampling": jax.random.fold_in(rng, 1)},
         )
         return loss, logs
 
     def train(self, epoch: int):
-        if self.state is not None and (
-            self._item_code is None or epoch % self.cycle == 0
-        ):
+        cyc = max(int(self.cfg.get("cycle", self.cycle)), 1)
+        if self.state is not None and self._item_code is None:
             self.refresh_item_codes()
-        self._train_id = bool((epoch // self.cycle) % 2) if self.cycle else False
+        if not getattr(self, "_finetuning", False):
+            # reference phase rule (train_per_epoch, train_etegrec.py:
+            # 492-494): the id phase runs every cycle-th epoch; cross
+            # losses gate on after warm_epoch
+            self._train_id = (epoch % cyc == 0) if cyc else False
+            self._warmed = epoch >= int(self.cfg.get("warm_epoch", 0) or 0)
         return super().train(epoch)
+
+    def post_training(self) -> None:
+        """Code-loss finetune of the generator at finetune_lr with a
+        fresh cosine schedule, tokenizer frozen, starting from the best
+        checkpoint (CoachForETEGRec.finetune, train_etegrec.py:583-624)."""
+        import optax
+
+        from ... import utils
+        from ...launcher.coach import EarlyStopError, TrainState
+
+        ft = int(self.cfg.get("finetune_epochs", 0) or 0)
+        if ft <= 0 or self.state is None:
+            return
+        utils.infoLogger("[ETEGRec] >>> code-loss finetune phase")
+        try:
+            self.load_best()
+        except FileNotFoundError:
+            pass
+        self.refresh_item_codes()
+        # fresh best/early-stop trackers (reset_best_for_finetune)
+        self._best = None
+        self._stopping_steps = 0
+        self._early_stop_patience = 10
+        spe = self._steps_per_epoch()
+        wd = float(self.cfg.get("weight_decay", 0.0) or 0.0)
+        lr = float(self.cfg.get("finetune_lr", 5e-4) or 5e-4)
+        self.rec_optimizer = optax.multi_transform(
+            {"rec": optax.chain(
+                optax.clip_by_global_norm(1.0),
+                optax.adamw(
+                    optax.cosine_decay_schedule(lr, max(ft * spe, 1)),
+                    weight_decay=wd,
+                ),
+            ),
+             "id": optax.set_to_zero(), "frozen": optax.set_to_zero()},
+            self._label_fn,
+        )
+        opt_state = dict(self.state.opt_state)
+        opt_state["rec"] = self.rec_optimizer.init(self.state.params)
+        self.state = TrainState(
+            self.state.params, opt_state, self.state.step, self.state.stats
+        )
+        self._finetuning = True
+        self._phase_tag = 1  # invalidates cached (phase, warmed) steps
+        # rec phase, unwarmed → code loss only (rec_vq_loss defaults 0)
+        self._train_id = False
+        self._warmed = False
+        eval_freq = max(1, int(self.cfg.get("eval_freq", 1)))
+        try:
+            for e in range(ft):
+                epoch = int(self.cfg.epochs) + e
+                self.train(epoch)
+                if (e + 1) % eval_freq == 0 and self.validpipe is not None:
+                    self.evaluate(epoch, mode="valid")
+                    summary = self._flush("valid", epoch)
+                    self._check_best(summary, epoch)
+        except EarlyStopError as exc:
+            utils.infoLogger(f"[ETEGRec] >>> finetune early stop: {exc}")
+        self._finetuning = False
+        self.save_last()
 
     def train_per_epoch(self, epoch: int) -> None:
         from ...data.pipes import Size
@@ -464,17 +716,23 @@ class ETEGRecCoach(Coach):
             }
             self._init_state_eteg(batch)
             batch["item_code"] = jnp.asarray(self._item_code)
-            # loss_of closes over _train_id (static) → one jitted step per phase
+            # loss_of closes over (_train_id, _warmed) (static) → one
+            # jitted step per (phase, warmed) combination
             if not hasattr(self, "_step_fns"):
                 self._step_fns = {}
-            if self._train_id not in self._step_fns:
-                self._step_fns[self._train_id] = self._make_train_step()
-            step_fn = self._step_fns[self._train_id]
+            key = (self._train_id, self._warmed, getattr(self, "_phase_tag", 0))
+            if key not in self._step_fns:
+                self._step_fns[key] = self._make_train_step()
+            step_fn = self._step_fns[key]
             self._rng, rng = jax.random.split(self._rng)
             self.state, loss, logs = step_fn(self.state, batch, rng)
             self.monitor(
                 float(loss), n=n, reduction="mean", mode="train", pool=["LOSS"]
             )
+        if self._train_id and self.state is not None:
+            # codes move only when the tokenizer trains: refresh at the
+            # END of each id epoch (train_etegrec.py:542-543)
+            self.refresh_item_codes()
 
     def _init_state_eteg(self, batch):
         if self.state is not None:
