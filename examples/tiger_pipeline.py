@@ -1,17 +1,26 @@
-"""TIGER two-stage pipeline (the reference's train_rqvae.py →
-train_t5.py flow, SURVEY.md §3.3) as one runnable script.
+"""Generative two-stage pipeline (the reference's train_rqvae.py →
+train_t5.py flow, SURVEY.md §3.3) as one runnable script, driven by the
+ported reference configs under configs/<Model>/<stage>/.
 
-Stage A trains the RQ-VAE tokenizer on item semantic features and
-writes sid_vocab.json; stage B trains the seq2seq generator over the
-emitted semantic IDs with trie-constrained evaluation.
+    # hyperparameter-exact launch from ported configs:
+    python examples/tiger_pipeline.py --root ./data \
+        --config-tokenizer configs/TIGER/rqvae/Amazon2014Beauty_550_LOU.yaml \
+        --config-t5 configs/TIGER/t5/Amazon2014Beauty_550_LOU.yaml
 
+    # k-means SID variants (TIGER rqkmeans/pqkmeans):
+    python examples/tiger_pipeline.py --root ./data \
+        --config-tokenizer configs/TIGER/rqkmeans/Amazon2014Beauty_550_LOU.yaml \
+        --config-t5 configs/TIGER/t5/Amazon2014Beauty_550_LOU.yaml
+
+    # LETTER / R3-VAE: point --config-tokenizer at configs/LETTER/rqvae/*
+    # or configs/R3-VAE/r3vae/*; stage B reuses TIGER's generator.
+
+    # flag-driven launch (no configs) still works:
     python examples/tiger_pipeline.py --root ./data --dataset X \
         --sem-feat-file sem_feats.pkl [--strategy ste|gumbel|rotation|simvq]
 
-With --collab-feat-file this becomes the LETTER pipeline; with
---strategy rotation it is R3-VAE; --kmeans residual|product skips
-stage A entirely and uses k-means semantic IDs (TIGER's R-KMeans /
-PQ-KMeans variants).
+Any --key value flag overrides the config (Parser precedence: CLI >
+YAML), so smoke runs can cut --epochs without editing configs.
 """
 
 from __future__ import annotations
@@ -26,128 +35,163 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True)
-    ap.add_argument("--dataset", required=True)
-    ap.add_argument("--sem-feat-file", required=True,
-                    help="pickle of (N_items, F) semantic features in the dataset dir")
+    ap.add_argument("--dataset", default=None)
+    ap.add_argument("--config-tokenizer", default=None,
+                    help="stage-A YAML (configs/<Model>/{rqvae,r3vae,"
+                         "rqkmeans,...}/<Dataset>.yaml)")
+    ap.add_argument("--config-t5", default=None,
+                    help="stage-B YAML (configs/<Model>/t5/<Dataset>.yaml)")
+    ap.add_argument("--sem-feat-file", default=None,
+                    help="pickle of (N_items, F) semantic features in the "
+                         "dataset dir (overrides the config's)")
     ap.add_argument("--collab-feat-file", default=None)
     ap.add_argument("--on-device-sampling", action="store_true",
                     help="stage-B roll windows sampled inside the jitted "
                          "step (DeviceRollSeqSampler) instead of the "
                          "host generator pipe")
-    ap.add_argument("--strategy", default="ste",
-                    choices=("ste", "gumbel", "rotation", "simvq", "product"))
+    ap.add_argument("--strategy", default=None,
+                    choices=(None, "ste", "gumbel", "rotation", "simvq",
+                             "product"))
     ap.add_argument("--kmeans", default=None, choices=(None, "residual", "product"))
-    ap.add_argument("--num-codebooks", type=int, default=3)
-    ap.add_argument("--num-codewords", type=int, default=256)
-    ap.add_argument("--codebook-dim", type=int, default=32)
-    ap.add_argument("--rqvae-epochs", type=int, default=200)
-    ap.add_argument("--maxlen", type=int, default=20)
-    ap.add_argument("--epochs", type=int, default=100)
-    ap.add_argument("--batch-size", type=int, default=256)
-    ap.add_argument("--num-beams", type=int, default=20)
-    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--rqvae-epochs", type=int, default=None)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--maxlen", type=int, default=None)
+    ap.add_argument("--num-beams", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--out", default="./logs/tiger")
-    args = ap.parse_args()
+    args, passthrough = ap.parse_known_args()
 
     import numpy as np
+    import yaml
 
+    from recboard_tpu import run as run_mod
     from recboard_tpu import utils
     from recboard_tpu.data.datasets import NextItemRecDataSet
     from recboard_tpu.launcher import Coach
-    from recboard_tpu.models.zoo import RQVAE, RQVAECoach, TIGER
+    from recboard_tpu.models.zoo import TIGER
+    from recboard_tpu.models.zoo.tiger import RQVAECoach
     from recboard_tpu.parser import Parser
     from recboard_tpu.sem.converter import SemIDConverter
 
-    ds = NextItemRecDataSet(args.root, args.dataset)
-    ds.summary()
-    feats = np.asarray(
-        utils.import_pickle(os.path.join(ds.path, args.sem_feat_file)), np.float32
+    def stage_cfg(config_file, description, extra):
+        """Compile a stage config: YAML < CLI overrides (Parser rules)."""
+        argv = []
+        if config_file:
+            argv += ["--config", config_file]
+        argv += ["--root", args.root, "--seed", str(args.seed),
+                 "--description", description]
+        if args.dataset:
+            argv += ["--dataset", args.dataset]
+        for key, val in extra.items():
+            if val is not None:
+                argv += [f"--{key}", str(val)]
+        argv += list(passthrough)
+        return Parser().compile(argv)
+
+    cfg_a = stage_cfg(
+        args.config_tokenizer, "tokenizer",
+        {
+            "epochs": args.rqvae_epochs,
+            "sem_feat_file": args.sem_feat_file,
+            "collab_feat_file": args.collab_feat_file,
+            "quantization_strategy": args.strategy,
+            "kmeans": args.kmeans,
+            "log-path": os.path.join(args.out, "tokenizer"),
+            "checkpoint-path": os.path.join(args.out, "tokenizer_ckpt"),
+        },
     )
-
-    vocab_file = os.path.join(args.out, "sid_vocab.json")
+    ds = NextItemRecDataSet(args.root, cfg_a.dataset)
+    ds.summary()
     utils.mkdirs(args.out)
+    vocab_file = os.path.join(args.out, "sid_vocab.json")
 
-    if args.kmeans:
+    kmeans_kind = cfg_a.get("kmeans")
+    if kmeans_kind:
+        # ---- stage A': k-means SIDs (TIGER rqkmeans/pqkmeans) ----------
         from recboard_tpu.sem import kmeans as km
 
-        fn = km.residual_kmeans_sids if args.kmeans == "residual" else km.product_kmeans_sids
-        codes = fn(feats, args.num_codebooks, args.num_codewords, seed=args.seed)
+        feats = np.asarray(
+            utils.import_pickle(os.path.join(ds.path, cfg_a.sem_feat_file)),
+            np.float32,
+        )
+        fn = (
+            km.residual_kmeans_sids
+            if kmeans_kind == "residual"
+            else km.product_kmeans_sids
+        )
+        codes = fn(
+            feats,
+            int(cfg_a.get("num_codebooks", 3)),
+            int(cfg_a.get("num_codewords", 256)),
+            iters=int(cfg_a.get("kmeans_iters", 20)),
+            seed=int(cfg_a.seed),
+        )
         converter = SemIDConverter.from_codes(codes)
         converter.save(vocab_file)
-        utils.infoLogger(f"[tiger] >>> k-means SIDs → {vocab_file}")
+        utils.infoLogger(f"[pipeline] >>> k-means SIDs → {vocab_file}")
     else:
-        # ---- stage A: RQ-VAE tokenizer ---------------------------------
-        pa = Parser()
-        pa.set_defaults(
-            description="RQVAE", root=args.root, dataset=args.dataset,
-            epochs=args.rqvae_epochs, batch_size=1024, optimizer="adamw",
-            lr=1e-3, eval_freq=max(args.rqvae_epochs // 5, 1),
-            log_path=os.path.join(args.out, "rqvae"),
-            checkpoint_path=os.path.join(args.out, "rqvae_ckpt"),
-            monitors=["LOSS"], which4best="LOSS", seed=args.seed,
-        )
-        cfg_a = pa.compile([])
-        collab = (
-            np.asarray(
-                utils.import_pickle(os.path.join(ds.path, args.collab_feat_file)),
-                np.float32,
-            )
-            if args.collab_feat_file
-            else None
-        )
-        tokenizer = RQVAE(
-            ds, item_features=feats, codebook_dim=args.codebook_dim,
-            num_codebooks=args.num_codebooks, num_codewords=args.num_codewords,
-            quantization_strategy=args.strategy,
-            collab_features=collab, cf_weight=0.01 if collab is not None else 0.0,
-        )
-        coach_a = RQVAECoach(
-            dataset=ds, trainpipe=tokenizer.sure_trainpipe(1024),
+        # ---- stage A: tokenizer training --------------------------------
+        name = cfg_a.get("model", "RQVAE")
+        tokenizer = run_mod.build_model(name, ds, cfg_a)
+        coach_cls = getattr(type(tokenizer), "COACH", RQVAECoach)
+        coach_a = coach_cls(
+            dataset=ds,
+            trainpipe=tokenizer.sure_trainpipe(int(cfg_a.batch_size)),
             validpipe=None, testpipe=None, model=tokenizer, cfg=cfg_a,
         )
-        for epoch in range(args.rqvae_epochs):
+        eval_freq = max(int(cfg_a.get("eval_freq", 1)), 1)
+        for epoch in range(int(cfg_a.epochs)):
             coach_a.train(epoch)
-            if (epoch + 1) % cfg_a.eval_freq == 0:
+            if (epoch + 1) % eval_freq == 0:
                 coach_a.evaluate(epoch, mode="valid")
                 coach_a._flush("valid", epoch)
         coach_a.save_sid_vocab(vocab_file)
-        utils.infoLogger(f"[tiger] >>> tokenizer SIDs → {vocab_file}")
-        converter = SemIDConverter.load(vocab_file)
+        utils.infoLogger(f"[pipeline] >>> tokenizer SIDs → {vocab_file}")
+    converter = SemIDConverter.load(vocab_file)
 
-    # ---- stage B: seq2seq generator ------------------------------------
-    pb = Parser()
-    pb.set_defaults(
-        description="TIGER", root=args.root, dataset=args.dataset,
-        epochs=args.epochs, batch_size=args.batch_size, optimizer="adamw",
-        lr=args.lr, eval_freq=5, early_stop_patience=5,
-        log_path=os.path.join(args.out, "t5"),
-        checkpoint_path=os.path.join(args.out, "t5_ckpt"),
-        monitors=["LOSS", "HitRate@5", "HitRate@10", "NDCG@5", "NDCG@10"],
-        which4best="NDCG@10", seed=args.seed,
+    # ---- stage B: seq2seq generator -------------------------------------
+    cfg_b = stage_cfg(
+        args.config_t5, "TIGER",
+        {
+            "epochs": args.epochs,
+            "batch-size": args.batch_size,
+            "maxlen": args.maxlen,
+            "num_beams": args.num_beams,
+            "lr": args.lr,
+            "log-path": os.path.join(args.out, "t5"),
+            "checkpoint-path": os.path.join(args.out, "t5_ckpt"),
+        },
     )
-    cfg_b = pb.compile([])
-    model = TIGER(ds, converter=converter, maxlen=args.maxlen,
-                  num_beams=args.num_beams)
+    fields = run_mod.model_field_names(TIGER)
+    kwargs = {
+        k: cfg_b[k] for k in fields if k in cfg_b and cfg_b[k] is not None
+    }
+    kwargs.pop("converter", None)
+    model = TIGER(ds, converter=converter, **kwargs)
+    maxlen = int(cfg_b.get("maxlen", 20))
+    batch_size = int(cfg_b.get("batch_size", 256))
     if args.on_device_sampling:
         from recboard_tpu.data.device import DeviceRollSeqSampler
 
         trainpipe = DeviceRollSeqSampler(
-            ds, maxlen=args.maxlen, batch_size=args.batch_size,
+            ds, maxlen=maxlen, batch_size=batch_size,
             num_pads=0, pad_value=model.Item.count,
         )
     else:
-        trainpipe = model.sure_trainpipe(args.maxlen, args.batch_size)
+        trainpipe = model.sure_trainpipe(maxlen, batch_size)
     coach_b = Coach(
         dataset=ds,
         trainpipe=trainpipe,
-        validpipe=model.sure_validpipe(args.maxlen, "full"),
-        testpipe=model.sure_testpipe(args.maxlen, "full"),
+        validpipe=model.sure_validpipe(maxlen, "full"),
+        testpipe=model.sure_testpipe(maxlen, "full"),
         model=model,
         cfg=cfg_b,
     )
     best = coach_b.fit()
-    utils.infoLogger(f"[tiger] >>> best: {best}")
+    utils.infoLogger(f"[pipeline] >>> best: {best}")
+    return best
 
 
 if __name__ == "__main__":

@@ -202,6 +202,28 @@ class Coach:
             self.lr_schedule = optax.warmup_cosine_decay_schedule(
                 0.0, lr, warm, total
             )
+        elif kind == "linear":
+            # transformers get_scheduler("linear"): warmup to lr then
+            # linear decay to 0 over training (ETEGRec/configs/rqvae
+            # uses warmup_epochs; steps estimated from the train split)
+            spe = max(
+                1,
+                len(self.dataset.train())
+                // max(int(self.cfg.get("batch_size", 1)), 1),
+            )
+            warm = int(
+                spec.get(
+                    "warmup_steps",
+                    int(spec.get("warmup_epochs", 0)) * spe,
+                )
+            )
+            total = int(spec.get("total_steps", int(self.cfg.epochs) * spe))
+            total = max(total, warm + 1)
+            self.lr_schedule = optax.join_schedules(
+                [optax.linear_schedule(0.0, lr, max(warm, 1)),
+                 optax.linear_schedule(lr, 0.0, total - warm)],
+                [max(warm, 1)],
+            )
         if self.lr_schedule is not None:
             self.set_optimizer()
 

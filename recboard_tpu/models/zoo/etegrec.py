@@ -88,6 +88,9 @@ class ETEGRec(SeqRecArch):
     temperature: float = 0.07
     quant_loss_weight: float = 1.0
     tokenizer_estimator: str = "ste"
+    apply_shared_codebook: bool = False
+    sk_epsilons: Optional[Tuple[float, ...]] = None
+    sk_iters: int = 50
     # per-phase loss weights (train_etegrec.py:72-83 argparse defaults);
     # the id phase trains the tokenizer on vq (+ cross terms once
     # warmed), the rec phase trains the generator on code CE
@@ -140,6 +143,10 @@ class ETEGRec(SeqRecArch):
             num_codewords=self.num_codewords,
             commit_weight=self.commit_weight,
             estimator=self.tokenizer_estimator,
+            apply_shared_codebook=self.apply_shared_codebook,
+            sk_epsilons=self.sk_epsilons,
+            sk_iters=self.sk_iters,
+            gumbel_temperature=getattr(self, "gumbel_tau", 1.0),
         )
         self.seq2seq = Seq2SeqTransformer(
             vocab_size=self.token_vocab,

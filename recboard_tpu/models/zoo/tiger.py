@@ -78,6 +78,7 @@ class RQVAE(RecSysArch):
     recon_reduction: str = "sum"  # sum-MSE/B (TIGER) | mean (LETTER)
     commit_reduction: str = "sum"
     quant_normalize_loss: bool = True  # TIGER /L; LETTER raw sum
+    quant_loss_weight: float = 1.0  # ETEGRec rqvae pretrain scales aux
 
     def setup(self):
         feats = np.asarray(self.item_features, np.float32)
@@ -164,7 +165,7 @@ class RQVAE(RecSysArch):
             recon = jnp.mean(jnp.square(x_hat - x))
         else:
             recon = jnp.sum(jnp.square(x_hat - x)) / items.shape[0]
-        loss = recon + aux_loss
+        loss = recon + self.quant_loss_weight * aux_loss
         logs = {"recon_loss": recon, "auxiliary_loss": aux_loss}
         if self.collab_features is not None and self.cf_weight > 0:
             # LETTER collaborative alignment: in-batch contrastive CE

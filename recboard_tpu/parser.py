@@ -129,6 +129,12 @@ class Parser:
 
         # precedence: CLI > YAML > set_defaults > argparse defaults
         cli_set = _explicit_cli_keys(self._parser, args)
+        # unknown CLI flags pass through as typed config keys (the
+        # reference adds per-model argparse args in each main.py; here
+        # any --some-hyperparam reaches the model without declaration)
+        extra = _parse_unknown_args(_unknown)
+        cfg.update(extra)
+        cli_set |= set(extra)
         for key, value in self._defaults.items():
             if key not in cli_set:
                 cfg[key] = value
@@ -210,6 +216,34 @@ def _str2list(value: str) -> List[str]:
     if isinstance(value, list):
         return value
     return [v.strip() for v in value.split(",") if v.strip()]
+
+
+def _parse_unknown_args(tokens: List[str]) -> dict:
+    """`--key value` / `--key=value` pairs argparse did not declare →
+    {key: typed value} (yaml typing: ints/floats/bools/lists parse)."""
+    out = {}
+    i = 0
+    while i < len(tokens):
+        tok = tokens[i]
+        if not tok.startswith("--"):
+            i += 1
+            continue
+        body = tok[2:]
+        if "=" in body:
+            key, raw = body.split("=", 1)
+            i += 1
+        elif i + 1 < len(tokens) and not tokens[i + 1].startswith("--"):
+            key, raw = body, tokens[i + 1]
+            i += 2
+        else:
+            key, raw = body, "true"
+            i += 1
+        try:
+            value = yaml.safe_load(raw)
+        except yaml.YAMLError:
+            value = raw
+        out[key.replace("-", "_")] = value
+    return out
 
 
 def _explicit_cli_keys(

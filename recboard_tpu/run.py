@@ -51,6 +51,15 @@ def build_model(name: str, dataset: RecDataSet, cfg: Dict[str, Any]):
         if isinstance(v, str) and isinstance(d, (tuple, list)):
             elem = type(d[0]) if len(d) else float
             kwargs[k] = tuple(elem(x) for x in v.split(",") if x != "")
+        elif isinstance(v, str) and d is None and "," in v:
+            # Optional sequence fields (sk_epsilons: "0.,0.,0.03") have
+            # no default to take the element type from — numeric commas
+            # coerce to a float tuple ("0." parses as 0.0)
+            parts = [x for x in v.split(",") if x != ""]
+            try:
+                kwargs[k] = tuple(float(x) for x in parts)
+            except ValueError:
+                pass  # a genuine comma-bearing string stays a string
     if "adj" in fields and "adj" not in kwargs:
         if hasattr(cls, "build_adj"):
             kwargs["adj"] = cls.build_adj(dataset)
@@ -123,6 +132,10 @@ def build_model(name: str, dataset: RecDataSet, cfg: Dict[str, Any]):
         feats = load_feat("tfile")
         if feats is None:
             feats = load_feat("vfile")
+        if feats is None:
+            # generative tokenizers name their feature pickle
+            # sem_feat_file (TIGER/configs/rqvae/*.yaml)
+            feats = load_feat("sem_feat_file")
         if feats is not None:
             if hasattr(cls, "build_features"):  # AlphaRec: + user means
                 item_f, user_f = cls.build_features(dataset, feats)
@@ -130,11 +143,16 @@ def build_model(name: str, dataset: RecDataSet, cfg: Dict[str, Any]):
                 kwargs.setdefault("user_features_arr", user_f)
             else:
                 kwargs.setdefault("item_features", feats)
+    if "collab_features" in fields and kwargs.get("collab_features") is None:
+        collab = load_feat("collab_feat_file")
+        if collab is not None:
+            kwargs.setdefault("collab_features", collab)
 
     # models that require side inputs the generic CLI cannot derive
     hard_required = {
         "datasets": "a dict of datasets (multi-dataset model — drive via a script)",
-        "item_features": "an item-feature pickle (--tfile or --vfile)",
+        "item_features": "an item-feature pickle (--tfile, --vfile or "
+                         "--sem_feat_file)",
         "sem_codes": "semantic-id codes (run the tokenizer stage first)",
         "converter": "a SemIDConverter (run the tokenizer stage first)",
     }
@@ -166,6 +184,10 @@ def build_pipes(model, cfg):
 
     from .models.base import GenRecArch, SeqRecArch
 
+    if not hasattr(type(model), "sure_validpipe"):
+        # tokenizer-stage models (RQVAE/LETTER/R3-VAE): their Coach
+        # evaluates codebook metrics from params, no eval pipes
+        return model.sure_trainpipe(int(cfg.batch_size)), None, None
     sig = inspect.signature(model.sure_trainpipe)
     seq_style = "maxlen" in sig.parameters
     if seq_style:
@@ -350,6 +372,11 @@ def main(argv: Optional[list] = None):
         cfg=cfg,
     )
     best = coach.fit()
+    if hasattr(coach, "save_sid_vocab"):
+        # tokenizer runs emit the SID vocab for stage B
+        # (CoachForRQVAE.save_sid_vocab)
+        vocab = coach.save_sid_vocab()
+        utils.infoLogger(f"[run] >>> sid vocab: {vocab}")
     utils.infoLogger(f"[run] >>> best: {best}")
     return best
 
