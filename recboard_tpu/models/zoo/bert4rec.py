@@ -11,11 +11,12 @@ HR@10 0.0730±0.0006, NDCG@10 0.0406±0.0005.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ... import criterions
 from ..base import Batch, SeqRecArch
@@ -39,6 +40,15 @@ class BERT4Rec(SeqRecArch):
     embedding_dim: int = 64
     dropout_rate: float = 0.2
     mask_ratio: float = 0.3
+    # static masked-position budget: the reference computes CE only at
+    # masked positions (BERT4Rec/main.py:154-163); for static shapes we
+    # top-k gather at most `masked_budget` masked positions per row
+    # before the full-vocab fc. None → ceil(maxlen*mask_ratio*2), which
+    # a Binomial(maxlen, ratio) exceeds with ~1e-5 probability — the
+    # loss is bit-comparable to the all-position weighted CE while the
+    # dominant (B, L, V) matmul shrinks by L/budget. Set >= maxlen to
+    # force the all-position path.
+    masked_budget: Optional[int] = None
 
     def setup(self):
         self.item_embeddings = nn.Embed(
@@ -126,10 +136,41 @@ class BERT4Rec(SeqRecArch):
         seqs = data[self.ISeq]
         masked_seqs, masks = self.random_mask(seqs, self.make_rng("sampling"))
         hidden = self.encode(masked_seqs, deterministic=False)
-        logits = self.fc(hidden)  # (B, L, N + NUM_PADS)
-        rec_loss = criterions.cross_entropy_with_logits(
-            logits, seqs, weights=masks.astype(jnp.float32)
-        )
+        L = seqs.shape[1]
+        budget = self.masked_budget
+        if budget is None:
+            budget = int(np.ceil(self.maxlen * self.mask_ratio * 2))
+        if budget < L:
+            # gather (at most) the masked rows, then project only those
+            # through the (D, V) head — the matmul that dominates the
+            # step shrinks by L/budget; rows beyond the true masked
+            # count carry weight 0, so the value matches the
+            # all-position weighted CE exactly (up to ~never-truncation)
+            m_int = masks.astype(jnp.int32)
+            sel_w, idx = jax.lax.top_k(m_int, budget)  # ties → low index
+            sel_hidden = jnp.take_along_axis(hidden, idx[..., None], axis=1)
+            sel_labels = jnp.take_along_axis(seqs, idx, axis=1)
+            # touch fc once so its params exist at init even though the
+            # fused CE consumes them directly (see ops/vocab_ce.py —
+            # the (M, V) logits stay in VMEM instead of HBM)
+            _ = self.fc(sel_hidden[:1, :1])
+            fc_params = self.variables["params"]["fc"]
+            from ...ops.vocab_ce import fullvocab_ce_rows
+
+            B = seqs.shape[0]
+            loss_rows = fullvocab_ce_rows(
+                sel_hidden.reshape(B * budget, -1),
+                fc_params["kernel"],
+                fc_params["bias"],
+                sel_labels.reshape(-1),
+            )
+            w = sel_w.astype(jnp.float32).reshape(-1)
+            rec_loss = jnp.sum(loss_rows * w) / jnp.maximum(jnp.sum(w), 1.0)
+        else:
+            logits = self.fc(hidden)  # (B, L, N + NUM_PADS)
+            rec_loss = criterions.cross_entropy_with_logits(
+                logits, seqs, weights=masks.astype(jnp.float32)
+            )
         return rec_loss, {"rec_loss": rec_loss}
 
     def recommend_from_full(self, data: Batch, buffers: Any = None) -> jnp.ndarray:

@@ -277,3 +277,84 @@ def test_stacked_rel_bias_kernel_bwd():
     gb = jax.grad(ker, argnums=(0, 1))(ts_w, pos_w)
     np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]), rtol=1e-4, atol=1e-4)
+
+
+def test_fullvocab_ce_kernel_matches_jnp():
+    """Fused full-vocab CE (ops/vocab_ce.py): values and h/W/b grads
+    match the jnp logsumexp path (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from recboard_tpu.ops.vocab_ce import _rows_jnp, fullvocab_ce_rows
+
+    rng = np.random.default_rng(0)
+    M, D, V = 70, 16, 300
+    h = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    W = jnp.asarray(rng.normal(size=(D, V)), jnp.float32) * 0.1
+    b = jnp.asarray(rng.normal(size=(V,)), jnp.float32) * 0.1
+    y = jnp.asarray(rng.integers(0, V, (M,)), jnp.int32)
+    w = jnp.asarray(rng.random((M,)), jnp.float32)
+
+    def f_ref(h, W, b):
+        return (_rows_jnp(h, W, b, y) * w).sum() / w.sum()
+
+    def f_fused(h, W, b):
+        rows = fullvocab_ce_rows(h, W, b, y, tile_rows=16, interpret=True)
+        return (rows * w).sum() / w.sum()
+
+    v1, g1 = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(h, W, b)
+    v2, g2 = jax.value_and_grad(f_fused, argnums=(0, 1, 2))(h, W, b)
+    assert abs(float(v1) - float(v2)) < 1e-5
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-4)
+
+
+def test_mha_dropout_pallas_kernel():
+    """Fused dropout attention (ops/attention.py): bit-equal to
+    mha_reference at rate 0, deterministic under a fixed seed, and its
+    custom VJP matches finite differences (the kernel is a
+    deterministic function of the seed, so FD is well-defined)."""
+    import jax
+    import jax.numpy as jnp
+
+    from recboard_tpu.ops.attention import mha_dropout_pallas, mha_reference
+
+    rng = np.random.default_rng(0)
+    B, L, D, H = 4, 10, 16, 2
+    q = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    pad = jnp.asarray(rng.random((B, L)) < 0.3)
+    key = jax.random.PRNGKey(3)
+
+    for causal in (False, True):
+        a = mha_reference(q, k, v, num_heads=H, causal=causal,
+                          key_padding_mask=pad)
+        b = mha_dropout_pallas(q, k, v, H, causal, pad, None, None,
+                               0.0, key, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    c1 = mha_dropout_pallas(q, k, v, H, False, pad, None, None, 0.3, key,
+                            interpret=True)
+    c2 = mha_dropout_pallas(q, k, v, H, False, pad, None, None, 0.3, key,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    a = mha_reference(q, k, v, num_heads=H, causal=False,
+                      key_padding_mask=pad)
+    assert float(jnp.abs(c1 - a).max()) > 1e-3  # dropout active
+
+    eps = 1e-3
+    idxs = [(0, 1, 2), (1, 3, 7), (3, 9, 15), (2, 0, 0)]
+    wrappers = [(q, lambda x: (x, k, v)), (k, lambda x: (q, x, v)),
+                (v, lambda x: (q, k, x))]
+    for arr, wrap in wrappers:
+        def f(x):
+            qq, kk, vv = wrap(x)
+            out = mha_dropout_pallas(qq, kk, vv, H, True, pad, None, None,
+                                     0.3, key, interpret=True)
+            return jnp.sum(out * jnp.cos(jnp.arange(D)))
+
+        g = jax.grad(f)(arr)
+        for i in idxs:
+            fd = (f(arr.at[i].add(eps)) - f(arr.at[i].add(-eps))) / (2 * eps)
+            assert abs(float(fd) - float(g[i])) < 5e-2 * max(1.0, abs(float(fd)))
