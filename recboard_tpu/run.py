@@ -147,6 +147,55 @@ def build_model(name: str, dataset: RecDataSet, cfg: Dict[str, Any]):
         collab = load_feat("collab_feat_file")
         if collab is not None:
             kwargs.setdefault("collab_features", collab)
+    if "converter" in fields and kwargs.get("converter") is None:
+        # stage-B generators load the tokenizer stage's vocab directly
+        # (TIGER/configs/t5/*.yaml `sid_vocab_file`)
+        vocab_file = cfg.get("sid_vocab_file")
+        if vocab_file:
+            from .sem.converter import SemIDConverter
+
+            path = (
+                vocab_file
+                if os.path.isabs(vocab_file) or os.path.isfile(vocab_file)
+                else os.path.join(dataset.path, vocab_file)
+            )
+            if os.path.isfile(path):
+                kwargs["converter"] = SemIDConverter.load(path)
+            else:
+                raise SystemExit(
+                    f"model {name!r}: sid_vocab_file {vocab_file!r} not "
+                    "found (run the tokenizer stage first — "
+                    "examples/tiger_pipeline.py or `run --model RQVAE`)"
+                )
+    if "sem_codes" in fields and kwargs.get("sem_codes") is None:
+        codes_file = cfg.get("sem_codes_file")
+        if codes_file:
+            path = (
+                codes_file if os.path.isfile(codes_file)
+                else os.path.join(dataset.path, codes_file)
+            )
+            import numpy as _np
+
+            kwargs["sem_codes"] = _np.asarray(
+                _utils.import_pickle(path), dtype=_np.int64
+            )
+    if "text_features" in fields and kwargs.get("text_features") is None:
+        feats = load_feat("tfile")
+        if feats is not None:
+            if feats.ndim == 2:  # (N, D) → one text field (N, 1, D)
+                feats = feats[:, None, :]
+            kwargs["text_features"] = feats
+    if "datasets" in fields and kwargs.get("datasets") is None:
+        # single-corpus launch (UniSRec pretrained on ONE dataset):
+        # the dict degenerates to {name: this dataset}; multi-corpus
+        # runs still go through a driving script
+        feats = load_feat("tfile")
+        if feats is not None:
+            kwargs["datasets"] = {cfg.dataset: dataset}
+            if "tfeats" in fields:
+                # override: the generic modality block above sets tfeats
+                # to the raw array; UniSRec wants the per-dataset dict
+                kwargs["tfeats"] = {cfg.dataset: feats}
 
     # models that require side inputs the generic CLI cannot derive
     hard_required = {

@@ -205,18 +205,36 @@ class TextualFeatureEncoder:
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser(description="Encode item textual features.")
+    ap = argparse.ArgumentParser(
+        description="Encode item textual/visual features."
+    )
     ap.add_argument("--root", required=True)
     ap.add_argument("--dataset", required=True)
+    ap.add_argument("--modality", default="text", choices=("text", "visual"))
     ap.add_argument("--backend", default="hash", choices=("hash", "hf"))
     ap.add_argument("--model", default="")
     ap.add_argument("--model-dir", default="./models")
     ap.add_argument("--fields", default=",".join(DEFAULT_FIELDS))
+    ap.add_argument("--image-dir", default="item_images/large")
     ap.add_argument("--feature-dim", type=int, default=384)
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--output-file", default=None)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+    if args.modality == "visual":
+        VisualFeatureEncoder(
+            args.root,
+            args.dataset,
+            backend=args.backend,
+            model=args.model,
+            model_dir=args.model_dir,
+            image_dir=args.image_dir,
+            batch_size=args.batch_size,
+            feature_dim=args.feature_dim,
+            output_file=args.output_file,
+            seed=args.seed,
+        ).run()
+        return
     TextualFeatureEncoder(
         args.root,
         args.dataset,
@@ -233,3 +251,142 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------- visual
+class VisualFeatureEncoder:
+    """Item images → (N_items, F) visual feature pickle — the visual
+    half of the reference's modality prep
+    (encode_amazon2023_context.ipynb `encode_visual_modality`): load
+    ``item_images/<size>/<item_id>.jpg`` per item, encode with a local
+    ViT checkpoint (AutoImageProcessor + AutoModel, CLS/pooled output),
+    and fill MISSING images with the mean feature of the present ones
+    (the notebook's vMasks/mean substitution). Output naming follows
+    the notebook: ``visual_<model>.pkl`` in the dataset dir — the
+    ``--vfile`` the MM family consumes.
+
+    Backends: ``hf`` (local vision checkpoint, no egress) and ``hash``
+    (deterministic projection of raw image bytes / IMAGE_URL strings —
+    an offline stand-in so MMGCN/LATTICE/FREEDOM/BM3/MGCN run end to
+    end without weights; NOT semantically meaningful)."""
+
+    def __init__(
+        self,
+        root: str,
+        dataset: str,
+        backend: str = "hash",
+        model: str = "",
+        model_dir: str = "./models",
+        image_dir: str = "item_images/large",
+        batch_size: int = 64,
+        feature_dim: int = 384,
+        item_file: str = "item.txt",
+        output_file: Optional[str] = None,
+        seed: int = 0,
+    ):
+        self.root = root
+        self.dataset = dataset
+        self.backend = backend
+        self.model = model
+        self.model_dir = model_dir
+        self.image_dir = image_dir
+        self.batch_size = batch_size
+        self.feature_dim = feature_dim
+        self.item_file = item_file
+        self.output_file = output_file
+        self.seed = seed
+
+    @property
+    def dataset_path(self) -> str:
+        return os.path.join(self.root, "Processed", self.dataset)
+
+    def _image_path(self, item_id) -> str:
+        return os.path.join(self.dataset_path, self.image_dir, f"{item_id}.jpg")
+
+    def resolve_output_file(self) -> str:
+        if self.output_file is not None:
+            if os.path.isabs(self.output_file):
+                return self.output_file
+            return os.path.join(self.dataset_path, self.output_file)
+        tag = self.model.replace("/", "_").replace("\\", "_") or self.backend
+        return os.path.join(self.dataset_path, f"visual_{tag}.pkl".lower())
+
+    def _hf_encode_images(self, item_ids) -> np.ndarray:
+        import torch
+        from PIL import Image
+        from transformers import AutoImageProcessor, AutoModel
+
+        path = (
+            os.path.join(self.model_dir, self.model)
+            if self.model_dir else self.model
+        )
+        processor = AutoImageProcessor.from_pretrained(
+            path, local_files_only=True
+        )
+        encoder = AutoModel.from_pretrained(path, local_files_only=True).eval()
+        feats, masks = [], []
+        with torch.no_grad():
+            for i in range(0, len(item_ids), self.batch_size):
+                chunk = item_ids[i : i + self.batch_size]
+                imgs, has = [], []
+                for iid in chunk:
+                    p = self._image_path(iid)
+                    if os.path.isfile(p):
+                        imgs.append(Image.open(p).convert("RGB"))
+                        has.append(True)
+                    else:
+                        imgs.append(Image.new("RGB", (224, 224)))
+                        has.append(False)
+                pixels = processor(images=imgs, return_tensors="pt")[
+                    "pixel_values"
+                ]
+                out = encoder(pixel_values=pixels)
+                pooled = getattr(out, "pooler_output", None)
+                if pooled is None:
+                    pooled = out.last_hidden_state[:, 0]  # CLS
+                feats.append(pooled.float().cpu().numpy())
+                masks += has
+        feats = np.concatenate(feats, axis=0)
+        masks = np.asarray(masks, bool)
+        if masks.any():  # missing images → mean of present features
+            feats[~masks] = feats[masks].mean(axis=0)
+        return feats
+
+    def _hash_encode_images(self, item_ids, item_df) -> np.ndarray:
+        """Deterministic projection of raw image bytes (first 4 KiB +
+        size), falling back to the IMAGE_URL string; a no-weights
+        stand-in that keeps the MM pipelines runnable offline."""
+        urls = (
+            item_df["IMAGE_URL"].astype(str).tolist()
+            if "IMAGE_URL" in item_df.columns
+            else [""] * len(item_ids)
+        )
+        keys = []
+        for iid, url in zip(item_ids, urls):
+            p = self._image_path(iid)
+            if os.path.isfile(p):
+                with open(p, "rb") as fh:
+                    head = fh.read(4096)
+                keys.append(head.hex() + f"|{os.path.getsize(p)}")
+            else:
+                keys.append(f"url:{url}|id:{iid}")
+        return _hash_encode(keys, dim=self.feature_dim, seed=self.seed + 1)
+
+    def run(self) -> str:
+        import pandas as pd
+
+        item_df = pd.read_csv(
+            os.path.join(self.dataset_path, self.item_file), sep="\t"
+        )
+        id_col = item_df.columns[0]
+        item_ids = item_df[id_col].tolist()
+        if self.backend == "hf":
+            feats = self._hf_encode_images(item_ids)
+        elif self.backend == "hash":
+            feats = self._hash_encode_images(item_ids, item_df)
+        else:
+            raise ValueError(f"unknown backend {self.backend!r}")
+        out = self.resolve_output_file()
+        utils.export_pickle(feats.astype(np.float32), out)
+        utils.infoLogger(f"[encode] >>> {feats.shape} visual features -> {out}")
+        return out

@@ -4,12 +4,22 @@ benchmark/<Dataset>/<Model>.json with tight stds as regression
 baselines), applied to this framework on the planted-structure
 synthetic dataset (no real Amazon/Yelp data exists in this image).
 
+Side inputs the reference prepares offline are synthesized here
+(modality feature pickles, semantic codes, SID vocabularies, a
+synthetic CTR dataset for DeepFM/DCN with AUC/LOGLOSS), so the store
+covers the ENTIRE zoo: sequential/graph/general families, the MM
+family, the text/LLM-side models, the CTR family, and the generative
+family (TIGER via k-means SIDs; LETTER/R3-VAE through the two-stage
+pipeline; ETEGRec/DIGER end to end).
+
     python tools/seed_sweep.py [--models MF-BPR,SASRec,...] [--seeds 5]
         [--benchmark-root ./benchmark] [--epochs 15]
+        [--extra=--some_flag,value]  [--no-record]
 
 Each run goes through the full CLI runner (config snapshot, Coach
 lifecycle, early stopping, results.json) with --record-benchmark, then
-the leaderboard data is rebuilt. Prints the mean ± std NDCG@10 table.
+the leaderboard data is rebuilt. Prints the mean ± std table
+(NDCG@10, or AUC for the CTR family).
 """
 
 from __future__ import annotations
@@ -24,6 +34,22 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+FEATS = "sweep_feats.pkl"
+CODES = "sweep_sem_codes.pkl"
+VOCAB = "sweep_sid_vocab.json"
+
+TFILE = ["--tfile", FEATS]
+VFILE = ["--vfile", FEATS]
+SEM = ["--sem_feat_file", FEATS]
+TINY_T5 = ["--embedding_dim", "32", "--num_heads", "2", "--ffn_dim", "64",
+           "--num_beams", "10", "--maxlen", "20",
+           "--num_encoder_layers", "1", "--num_decoder_layers", "1"]
+TINY_JOINT = ["--embedding_dim", "32", "--num_heads", "2", "--ffn_dim", "64",
+              "--num_beams", "10", "--maxlen", "20",
+              "--num_layers", "1", "--num_decoder_layers", "1",
+              "--num_codewords", "16", "--num_codebooks", "2",
+              "--codebook_dim", "16", "--hidden_dims", "32,16"]
 
 MODELS = {
     # model -> extra CLI args
@@ -48,7 +74,40 @@ MODELS = {
     "NGCF": ["--epochs", "30"],
     "GTE": ["--epochs", "1"],
     "SEvo": ["--maxlen", "20"],
+    # --- r2 additions: the rest of the zoo -------------------------
+    "BERT4Rec": ["--maxlen", "20"],
+    "GLINT-RU": ["--maxlen", "20"],
+    "RUM": ["--maxlen", "20"],
+    "LESSR": ["--maxlen", "20"],
+    "SimpleX": ["--epochs", "30"],
+    "UltraGCN": ["--epochs", "30"],
+    "CAGCN": ["--epochs", "30"],
+    "AlphaRec": TFILE + ["--epochs", "30"],
+    "MMGCN": VFILE + TFILE + ["--epochs", "20"],
+    "LATTICE": VFILE + TFILE + ["--epochs", "20"],
+    "FREEDOM": VFILE + TFILE + ["--epochs", "20"],
+    "BM3": VFILE + TFILE + ["--epochs", "20"],
+    "MGCN": VFILE + TFILE + ["--epochs", "20"],
+    "UniSRec": TFILE + ["--maxlen", "20"],
+    "E4SRec": TFILE + ["--maxlen", "20", "--backbone_dim", "32",
+                       "--num_blocks", "1", "--num-heads", "2",
+                       "--lora_rank", "4"],
+    "CCFRec": TFILE + ["--maxlen", "20", "--sem_codes_file", CODES,
+                       "--num_negs", "8", "--hidden_size", "64"],
+    "TIGER": ["--sid_vocab_file", VOCAB, "--epochs", "10",
+              "--tags", "rqkmeans"] + TINY_T5,
+    "ETEGRec": SEM + TINY_JOINT + ["--epochs", "10", "--warm_epoch", "2",
+                                   "--warmup_steps", "50",
+                                   "--finetune_epochs", "0"],
+    "DIGER": SEM + TINY_JOINT + ["--epochs", "10",
+                                 "--freeze_id_encoder", "false"],
+    # CTR family: synthetic PREDICTION dataset, AUC/LOGLOSS story
+    "DeepFM": ["--epochs", "20"],
+    "DCN": ["--epochs", "20"],
 }
+
+CTR_MODELS = {"DeepFM", "DCN"}
+PIPELINE_MODELS = {"LETTER", "R3-VAE"}  # two-stage generative pipeline
 
 FAMILY = {
     "MF-BPR": "General", "LightGCN": "Graph", "SASRec": "Sequential",
@@ -58,7 +117,97 @@ FAMILY = {
     "NeuMF": "General", "GCN": "Graph", "SimGCL": "Graph+SSL",
     "SGL": "Graph+SSL", "JGCF": "Graph", "PairNorm": "Graph",
     "NGCF": "Graph", "GTE": "General", "SEvo": "Sequential",
+    "BERT4Rec": "Sequential", "GLINT-RU": "Sequential", "RUM": "Sequential",
+    "LESSR": "Session", "SimpleX": "General", "UltraGCN": "Graph",
+    "CAGCN": "Graph", "AlphaRec": "Text+CF", "MMGCN": "Multimodal",
+    "LATTICE": "Multimodal", "FREEDOM": "Multimodal", "BM3": "Multimodal",
+    "MGCN": "Multimodal", "UniSRec": "Text+Seq", "E4SRec": "LLM+Seq",
+    "CCFRec": "SemID+Seq", "TIGER": "Generative", "ETEGRec": "Generative",
+    "DIGER": "Generative", "LETTER": "Generative", "R3-VAE": "Generative",
+    "DeepFM": "CTR", "DCN": "CTR",
 }
+
+
+def prepare_side_inputs(ds):
+    from recboard_tpu import utils
+    from recboard_tpu.sem.converter import SemIDConverter
+    from recboard_tpu.sem.kmeans import residual_kmeans_sids
+
+    I = ds.fields["ITEM", "ID"].count
+    feats_path = os.path.join(ds.path, FEATS)
+    if not os.path.isfile(feats_path):
+        feats = np.random.default_rng(0).normal(size=(I, 24)).astype(np.float32)
+        utils.export_pickle(feats, feats_path)
+    else:
+        feats = np.asarray(utils.import_pickle(feats_path), np.float32)
+    codes_path = os.path.join(ds.path, CODES)
+    if not os.path.isfile(codes_path):
+        codes = residual_kmeans_sids(feats, num_codebooks=2, num_codewords=16,
+                                     iters=8)
+        utils.export_pickle(codes, codes_path)
+        SemIDConverter.from_codes(codes).save(os.path.join(ds.path, VOCAB))
+
+
+def run_pipeline_model(model, args, seed):
+    """LETTER / R3-VAE: tokenizer → TIGER generator, recorded under the
+    model's own name with a tokenizer tag (the reference's TIGER.json
+    rows are pipeline-level metrics per tokenizer)."""
+    import runpy
+
+    tok_extra = {
+        "LETTER": ["--model", "LETTER", "--num_codewords", "16",
+                   "--num_codebooks", "2", "--codebook_dim", "8",
+                   "--hidden_dims", "16,8", "--num_diversity_clusters", "4",
+                   "--collab-feat-file", FEATS],
+        "R3-VAE": ["--model", "R3-VAE", "--num_codewords", "16",
+                   "--num_codebooks", "2"],
+    }[model]
+    argv = [
+        "tiger_pipeline.py", "--root", args.root, "--dataset", args.dataset,
+        "--sem-feat-file", FEATS, "--rqvae-epochs", "15",
+        "--epochs", "10", "--batch-size", "128", "--maxlen", "20",
+        "--num-beams", "10", "--seed", str(seed),
+        "--out", f"/tmp/seed_sweep/{model}_{seed}",
+        "--embedding_dim", "32", "--num_heads", "2", "--ffn_dim", "64",
+        "--num_encoder_layers", "1", "--num_decoder_layers", "1",
+        "--eval-freq", "3", "--lr", "0.003",
+        "--description", model, "--tags", FAMILY[model], "--tags", "tokenizer",
+        "--record-benchmark", str(not args.no_record).lower(),
+        "--benchmark-root", args.benchmark_root,
+        "--log-path", "/tmp/seed_sweep/logs",
+        "--checkpoint-path", "/tmp/seed_sweep/infos",
+    ] + tok_extra
+    sys.argv = argv
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
+        runpy.run_path(
+            os.path.join(repo, "examples", "tiger_pipeline.py"),
+            run_name="__main__",
+        )
+    line = [ln for ln in buf.getvalue().splitlines() if "best:" in ln]
+    return eval(line[-1].split("best:", 1)[1]) if line else {}
+
+
+def prepare_ctr(args):
+    """Synthetic CTR dataset + a fields-schema config for the CLI."""
+    import yaml
+
+    from recboard_tpu.data.synthetic import (
+        CTR_FIELDS_CFG, make_synthetic_ctr_dataset,
+    )
+
+    name = "SynCTR_000"
+    if not os.path.isdir(os.path.join(args.root, "Processed", name)):
+        make_synthetic_ctr_dataset(args.root, name, seed=3)
+    cfg_file = "/tmp/seed_sweep/ctr_fields.yaml"
+    os.makedirs("/tmp/seed_sweep", exist_ok=True)
+    with open(cfg_file, "w") as fh:
+        yaml.safe_dump({"fields": CTR_FIELDS_CFG, "tasktag": "PREDICTION",
+                        "ranking": "pool",
+                        "monitors": ["LOSS", "AUC", "LOGLOSS"],
+                        "which4best": "AUC"}, fh)
+    return name, cfg_file
 
 
 def main():
@@ -69,6 +218,14 @@ def main():
     ap.add_argument("--root", default="/tmp/seed_sweep/data")
     ap.add_argument("--benchmark-root", default="./benchmark")
     ap.add_argument("--dataset", default="SynBeauty_000_LOU")
+    ap.add_argument("--num-users", type=int, default=800)
+    ap.add_argument("--num-items", type=int, default=300)
+    ap.add_argument("--extra", default="",
+                    help="comma-separated extra CLI args appended to every "
+                         "run (A/B sweeps: --extra=--shared_negs,true)")
+    ap.add_argument("--no-record", action="store_true",
+                    help="skip the benchmark store/leaderboard writes "
+                         "(pure A/B comparisons)")
     args = ap.parse_args()
 
     import jax
@@ -81,30 +238,67 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from recboard_tpu.data import synthetic
+    from recboard_tpu.data.datasets import NextItemRecDataSet
 
     if not os.path.isdir(os.path.join(args.root, "Processed", args.dataset)):
         synthetic.make_synthetic_dataset(
-            args.root, args.dataset, num_users=800, num_items=300,
+            args.root, args.dataset, num_users=args.num_users,
+            num_items=args.num_items,
             avg_len=14.0, seed=7, markov_strength=0.45, group_strength=0.45,
         )
+    ds = NextItemRecDataSet(args.root, args.dataset)
+    prepare_side_inputs(ds)
 
     import runpy
 
     table = {}
-    for model in args.models.split(","):
+    wanted = args.models.split(",")
+    ctr_ready = None
+    for model in wanted:
+        metric = "AUC" if model in CTR_MODELS else "NDCG@10"
         vals = []
         for seed in range(args.seeds):
-            argv = [
-                "run", "--model", model, "--root", args.root,
-                "--dataset", args.dataset, "--epochs", str(args.epochs),
-                "--lr", "0.005", "--batch-size", "128", "--eval-freq", "3",
-                "--seed", str(seed), "--description", model,
-                "--record-benchmark", "true",
-                "--benchmark-root", args.benchmark_root,
-                "--tags", FAMILY.get(model, "Model"), "--tags", "64",
-                "--log-path", "/tmp/seed_sweep/logs",
-                "--checkpoint-path", "/tmp/seed_sweep/infos",
-            ] + MODELS.get(model, [])
+            if model in PIPELINE_MODELS:
+                try:
+                    best = run_pipeline_model(model, args, seed)
+                except Exception as e:  # keep the sweep going
+                    print(f"{model} seed {seed}: FAIL {e}", flush=True)
+                    break
+                vals.append(best.get(metric, float("nan")))
+                print(f"{model} seed {seed}: {metric}={vals[-1]:.4f}",
+                      flush=True)
+                continue
+            if model in CTR_MODELS:
+                if ctr_ready is None:
+                    ctr_ready = prepare_ctr(args)
+                ctr_name, ctr_cfg = ctr_ready
+                argv = [
+                    "run", "--model", model, "--root", args.root,
+                    "--dataset", ctr_name, "--config", ctr_cfg,
+                    "--epochs", str(args.epochs),
+                    "--lr", "0.002", "--batch-size", "256",
+                    "--eval-freq", "3",
+                    "--seed", str(seed), "--description", model,
+                    "--record-benchmark", str(not args.no_record).lower(),
+                    "--benchmark-root", args.benchmark_root,
+                    "--tags", FAMILY.get(model, "Model"),
+                    "--log-path", "/tmp/seed_sweep/logs",
+                    "--checkpoint-path", "/tmp/seed_sweep/infos",
+                ] + MODELS.get(model, [])
+            else:
+                argv = [
+                    "run", "--model", model, "--root", args.root,
+                    "--dataset", args.dataset, "--epochs", str(args.epochs),
+                    "--lr", "0.005", "--batch-size", "128",
+                    "--eval-freq", "3",
+                    "--seed", str(seed), "--description", model,
+                    "--record-benchmark", str(not args.no_record).lower(),
+                    "--benchmark-root", args.benchmark_root,
+                    "--tags", FAMILY.get(model, "Model"), "--tags", "64",
+                    "--log-path", "/tmp/seed_sweep/logs",
+                    "--checkpoint-path", "/tmp/seed_sweep/infos",
+                ] + MODELS.get(model, [])
+            argv += [a for a in args.extra.split(",") if a]
             sys.argv = argv
             buf = io.StringIO()
             try:
@@ -113,17 +307,24 @@ def main():
             except SystemExit as e:
                 print(f"{model} seed {seed}: GUIDED_EXIT {e}", flush=True)
                 break
+            except Exception as e:
+                print(f"{model} seed {seed}: FAIL {type(e).__name__} {e}",
+                      flush=True)
+                break
             # read the recorded best back out of the run artifacts
             line = [ln for ln in buf.getvalue().splitlines() if "best:" in ln]
             best = eval(line[-1].split("best:", 1)[1]) if line else {}
-            vals.append(best.get("NDCG@10", float("nan")))
-            print(f"{model} seed {seed}: NDCG@10={vals[-1]:.4f}", flush=True)
+            vals.append(best.get(metric, float("nan")))
+            print(f"{model} seed {seed}: {metric}={vals[-1]:.4f}", flush=True)
         if vals:
             table[model] = (float(np.mean(vals)), float(np.std(vals)))
 
     from recboard_tpu import benchmark as B
 
-    B.build_leaderboard_data(args.benchmark_root, "./leaderboard/results.json")
+    if not args.no_record:
+        B.build_leaderboard_data(
+            args.benchmark_root, "./leaderboard/results.json"
+        )
     print(json.dumps({
         m: f"{mu:.4f}±{sd:.4f}" for m, (mu, sd) in table.items()
     }, indent=1), flush=True)

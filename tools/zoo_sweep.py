@@ -1,9 +1,14 @@
 """Round-end CLI gate: launch every zoo model through the generic
-runner on a tiny synthetic dataset. Expected outcome: every model
-either trains (OK) or exits with guidance naming the missing side
-input (GUIDED_EXIT); any FAIL is a runner-wiring or model bug.
+runner on a tiny synthetic dataset and TRAIN it — side inputs the
+reference obtains offline (modality feature pickles, semantic codes,
+SID vocabularies) are synthesized here, so OK means "trains end to end
+through the CLI", not merely "exits with guidance".
 
-Usage: python tools/zoo_sweep.py  (CPU, ~6 min warm cache)
+Expected outcome: OK for every model; any FAIL is a runner-wiring or
+model bug; GUIDED_EXIT should be empty (kept as a category so a
+regression in input synthesis is visible, not fatal).
+
+Usage: python tools/zoo_sweep.py  (CPU, ~10 min warm cache)
 """
 import sys, os, io, contextlib, traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -11,7 +16,11 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
+import numpy as np
+
+from recboard_tpu import utils
 from recboard_tpu.data import synthetic
+from recboard_tpu.data.datasets import NextItemRecDataSet
 from recboard_tpu.models.zoo import REGISTRY
 
 root = os.environ.get("SWEEP_ROOT", "/tmp/sweep/data")
@@ -21,17 +30,65 @@ if not os.path.isdir(os.path.join(root, "Processed", name)):
                                      avg_len=10.0, seed=3, markov_strength=0.6,
                                      group_strength=0.3)
 
+# ---- synthesized side inputs (the reference's offline prep steps) ----
+ds = NextItemRecDataSet(root, name)
+I = ds.fields["ITEM", "ID"].count
+feats = np.random.default_rng(0).normal(size=(I, 24)).astype(np.float32)
+FEATS = "sweep_feats.pkl"
+utils.export_pickle(feats, os.path.join(ds.path, FEATS))
+
+from recboard_tpu.sem.converter import SemIDConverter
+from recboard_tpu.sem.kmeans import residual_kmeans_sids
+
+codes = residual_kmeans_sids(feats, num_codebooks=2, num_codewords=8, iters=5)
+CODES = "sweep_sem_codes.pkl"
+utils.export_pickle(codes, os.path.join(ds.path, CODES))
+VOCAB = os.path.join(ds.path, "sweep_sid_vocab.json")
+SemIDConverter.from_codes(codes).save(VOCAB)
+
+TFILE = ["--tfile", FEATS]
+VFILE = ["--vfile", FEATS]
+SEM = ["--sem_feat_file", FEATS]
+TINY_T5 = ["--embedding_dim", "32", "--num_heads", "2", "--ffn_dim", "64",
+           "--num_beams", "4"]
+TINY_TOK = ["--num_codewords", "8", "--num_codebooks", "2",
+            "--codebook_dim", "8", "--hidden_dims", "16,8"]
+
+EXTRA = {
+    # multimodal family: visual+text feature pickles
+    "MMGCN": VFILE + TFILE, "LATTICE": VFILE + TFILE,
+    "FREEDOM": VFILE + TFILE, "BM3": VFILE + TFILE, "MGCN": VFILE + TFILE,
+    # LLM/text-side models
+    "AlphaRec": TFILE,
+    "UniSRec": TFILE,
+    "E4SRec": TFILE + ["--backbone_dim", "32", "--num_blocks", "1",
+                       "--num-heads", "2", "--lora_rank", "4"],
+    "CCFRec": TFILE + ["--sem_codes_file", CODES, "--num_negs", "8"],
+    # generative family (tokenizers + generators), tiny dims for CPU
+    "RQVAE": SEM + TINY_TOK + ["--which4best", "LOSS"],
+    "LETTER": SEM + TINY_TOK + ["--which4best", "LOSS",
+                                "--num_diversity_clusters", "3"],
+    "R3-VAE": SEM + ["--num_codewords", "8", "--num_codebooks", "2",
+                     "--which4best", "LOSS"],
+    "TIGER": ["--sid_vocab_file", VOCAB] + TINY_T5 +
+             ["--num_encoder_layers", "1", "--num_decoder_layers", "1"],
+    "ETEGRec": SEM + TINY_TOK + TINY_T5 +
+               ["--num_layers", "1", "--num_decoder_layers", "1",
+                "--warmup_steps", "2", "--finetune_epochs", "0"],
+    "DIGER": SEM + TINY_TOK + TINY_T5 +
+             ["--num_layers", "1", "--num_decoder_layers", "1",
+              "--freeze_id_encoder", "false"],
+}
+
 import runpy
 
-SKIP = {"RQVAE"}  # tokenizer stage, driven by examples/tiger_pipeline.py
 results = {}
 for model in sorted(REGISTRY):
-    if model in SKIP:
-        continue
     argv = ["run", "--model", model, "--root", root, "--dataset", name,
             "--epochs", "1", "--lr", "0.01", "--batch-size", "32",
             "--eval-freq", "10", "--maxlen", "12",
-            "--log-path", "/tmp/sweep/logs", "--checkpoint-path", "/tmp/sweep/infos"]
+            "--log-path", "/tmp/sweep/logs",
+            "--checkpoint-path", "/tmp/sweep/infos"] + EXTRA.get(model, [])
     sys.argv = argv
     buf = io.StringIO()
     try:
