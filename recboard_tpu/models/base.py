@@ -116,6 +116,21 @@ class RecSysArch(nn.Module):
         embeddings once per evaluation); default: nothing."""
         return ()
 
+    # --------------------------------------- sharded-serving protocol
+    def encode_queries(self, data: Batch) -> jnp.ndarray:
+        """(B, D) query vectors whose dot with `item_table()` gives the
+        full-catalog scores — the hook `recommend --sharded-rank` uses
+        to route serving through parallel/topk.rank_top_k_row_sharded
+        (scores stay item-sharded; the full (B, V) matrix never exists
+        on one chip). Optional: only two-tower-style models (dot-product
+        scorers) can support it."""
+        raise NotImplementedError
+
+    def item_table(self) -> jnp.ndarray:
+        """(V, D) item matrix paired with `encode_queries` (row-sharded
+        over the model axis by partition_rules)."""
+        raise NotImplementedError
+
     def __call__(self, data: Batch, ranking: Optional[str] = None):
         """Train/eval dispatch for init and generic callers."""
         if ranking == "full":

@@ -59,6 +59,12 @@ class MFBPR(GenRecArch):
     def reset_ranking_buffers(self) -> Any:
         return self.encode()
 
+    def encode_queries(self, data: Batch) -> jnp.ndarray:
+        return self.user_embeddings(data[self.User])
+
+    def item_table(self) -> jnp.ndarray:
+        return self.item_embeddings.embedding
+
     def recommend_from_full(self, data: Batch, buffers: Any = None) -> jnp.ndarray:
         user_embds, item_embds = buffers if buffers else self.encode()
         q = user_embds[data[self.User]]

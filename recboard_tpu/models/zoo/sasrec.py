@@ -152,6 +152,13 @@ class SASRec(SeqRecArch):
             "bd,nd->bn", q, item_embds, preferred_element_type=jnp.float32
         )
 
+    def encode_queries(self, data: Batch) -> jnp.ndarray:
+        user_embds, _ = self.encode(data)
+        return user_embds[:, -1, :]
+
+    def item_table(self) -> jnp.ndarray:
+        return self.item_embeddings.embedding[self.NUM_PADS :]
+
     def recommend_from_pool(self, data: Batch, buffers: Any = None) -> jnp.ndarray:
         user_embds, item_embds = self.encode(data)
         q = user_embds[:, -1, :]

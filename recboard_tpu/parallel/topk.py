@@ -71,14 +71,21 @@ def rank_top_k_row_sharded(
     table: jnp.ndarray,
     k: int,
     axis: str = MODEL_AXIS,
+    valid_count: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused sharded scoring + distributed top-k: each shard computes
     its (B, V/P) block of ``q @ table.T`` and only (B, P·k) candidates
-    cross ICI. The full (B, V) score matrix never exists on any chip."""
+    cross ICI. The full (B, V) score matrix never exists on any chip.
+    ``valid_count`` masks vocab-pad rows (tables padded so V divides the
+    axis, pad_vocab) to -inf so they never surface as candidates."""
     per_shard = table.shape[0] // mesh.shape[axis]
 
     def local(q: jnp.ndarray, t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         s = jnp.einsum("bd,vd->bv", q, t, preferred_element_type=jnp.float32)
+        if valid_count is not None and valid_count < table.shape[0]:
+            shard = jax.lax.axis_index(axis)
+            cols = shard * per_shard + jnp.arange(per_shard)[None, :]
+            s = jnp.where(cols < valid_count, s, -jnp.inf)
         vals, idx = jax.lax.top_k(s, min(k, per_shard))
         shard = jax.lax.axis_index(axis)
         idx = idx + shard * per_shard

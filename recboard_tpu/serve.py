@@ -78,6 +78,14 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--with-scores", action="store_true")
     ap.add_argument("--num-model-shards", type=int, default=1,
                     help="shard params over a (data, model) mesh")
+    ap.add_argument("--sharded-rank", action="store_true",
+                    help="route scoring through the explicit shard_map "
+                         "ranker (parallel/topk.rank_top_k_row_sharded): "
+                         "the full (B, V) score matrix never exists on "
+                         "one chip — the path for catalogs exceeding "
+                         "single-chip HBM; requires a model with "
+                         "encode_queries/item_table and "
+                         "--num-model-shards > 1")
     ap.add_argument("--bench", action="store_true",
                     help="print one JSON serving-latency line, no TSV")
     ap.add_argument("--bench-batches", type=int, default=64,
@@ -209,17 +217,59 @@ def main(argv: Optional[list] = None):
     k = int(args.topk)
     mask_seen = not args.retain_seen
 
-    @jax.jit
-    def score_topk(params, buffers, batch, seen_ids):
-        scores = model.apply(
-            {"params": params, **stats}, batch, buffers,
-            method="recommend_from_full",
-        )
-        if mask_seen:
-            rows = jnp.arange(scores.shape[0])[:, None]
-            scores = scores.at[rows, seen_ids].set(-1e23, mode="drop")
-        vals, idx = jax.lax.top_k(scores, k)
-        return vals, idx
+    if args.sharded_rank:
+        if args.num_model_shards <= 1:
+            raise SystemExit("--sharded-rank requires --num-model-shards > 1")
+        from .models.base import RecSysArch as _Base
+
+        if type(model).encode_queries is _Base.encode_queries:
+            raise SystemExit(
+                f"{cfg.model} does not define encode_queries/item_table "
+                "(two-tower dot-product scorers only)"
+            )
+        from .parallel import tables as tables_lib
+        from .parallel.topk import rank_top_k_row_sharded
+
+        n_shards = int(args.num_model_shards)
+
+        @jax.jit
+        def score_topk(params, buffers, batch, seen_ids):
+            q = model.apply(
+                {"params": params, **stats}, batch, method="encode_queries"
+            )
+            table = model.apply(
+                {"params": params, **stats}, method="item_table"
+            )
+            V = table.shape[0]
+            Vp = tables_lib.pad_vocab(V, n_shards)
+            table = jnp.pad(table, ((0, Vp - V), (0, 0)))
+            # exact unseen top-k: take k + seen-width candidates, drop
+            # the seen ones, re-top-k — ≥k unseen candidates remain
+            W = seen_ids.shape[1] if mask_seen else 0
+            kk = min(k + W, V)
+            vals, idx = rank_top_k_row_sharded(
+                mesh, q, table, kk, valid_count=V
+            )
+            if mask_seen:
+                hit = (idx[:, :, None] == seen_ids[:, None, :]).any(-1)
+                vals = jnp.where(hit, -jnp.inf, vals)
+                vals, pos = jax.lax.top_k(vals, k)
+                idx = jnp.take_along_axis(idx, pos, axis=1)
+            else:
+                vals, idx = vals[:, :k], idx[:, :k]
+            return vals, idx
+    else:
+        @jax.jit
+        def score_topk(params, buffers, batch, seen_ids):
+            scores = model.apply(
+                {"params": params, **stats}, batch, buffers,
+                method="recommend_from_full",
+            )
+            if mask_seen:
+                rows = jnp.arange(scores.shape[0])[:, None]
+                scores = scores.at[rows, seen_ids].set(-1e23, mode="drop")
+            vals, idx = jax.lax.top_k(scores, k)
+            return vals, idx
 
     def device_batches():
         for data in pipe:

@@ -80,15 +80,39 @@ EXTRA = {
               "--freeze_id_encoder", "false"],
 }
 
+# CTR models run on a synthetic PREDICTION dataset with a fields schema
+import yaml
+
+from recboard_tpu.data.synthetic import CTR_FIELDS_CFG, make_synthetic_ctr_dataset
+
+CTR_NAME = "SW_CTR_000"
+if not os.path.isdir(os.path.join(root, "Processed", CTR_NAME)):
+    make_synthetic_ctr_dataset(root, CTR_NAME, seed=3)
+CTR_CFG = "/tmp/sweep/ctr_fields.yaml"
+os.makedirs("/tmp/sweep", exist_ok=True)
+with open(CTR_CFG, "w") as fh:
+    yaml.safe_dump({"fields": CTR_FIELDS_CFG, "tasktag": "PREDICTION",
+                    "ranking": "pool", "monitors": ["LOSS", "AUC"],
+                    "which4best": "AUC"}, fh)
+CTR_MODELS = {"DeepFM", "DCN"}
+
 import runpy
 
 results = {}
 for model in sorted(REGISTRY):
-    argv = ["run", "--model", model, "--root", root, "--dataset", name,
-            "--epochs", "1", "--lr", "0.01", "--batch-size", "32",
-            "--eval-freq", "10", "--maxlen", "12",
-            "--log-path", "/tmp/sweep/logs",
-            "--checkpoint-path", "/tmp/sweep/infos"] + EXTRA.get(model, [])
+    if model in CTR_MODELS:
+        argv = ["run", "--model", model, "--root", root,
+                "--dataset", CTR_NAME, "--config", CTR_CFG,
+                "--epochs", "1", "--lr", "0.002", "--batch-size", "256",
+                "--eval-freq", "10",
+                "--log-path", "/tmp/sweep/logs",
+                "--checkpoint-path", "/tmp/sweep/infos"]
+    else:
+        argv = ["run", "--model", model, "--root", root, "--dataset", name,
+                "--epochs", "1", "--lr", "0.01", "--batch-size", "32",
+                "--eval-freq", "10", "--maxlen", "12",
+                "--log-path", "/tmp/sweep/logs",
+                "--checkpoint-path", "/tmp/sweep/infos"] + EXTRA.get(model, [])
     sys.argv = argv
     buf = io.StringIO()
     try:
