@@ -355,11 +355,9 @@ class ETEGRec(SeqRecArch):
         # the tied-head projection separately
         x = self.seq2seq.shared(dec_in)
         Bq = dec_in.shape[1]
-        causal = jnp.tril(jnp.ones((Bq, Bq), dtype=bool))[None, None]
-        cross = enc_mask[:, None, None, :]
         bias = self.seq2seq.dec_bias(Bq, Bq)
         for block in self.seq2seq.decoder_blocks:
-            x = block(x, enc_out, causal, cross, bias, deterministic)
+            x = block(x, enc_out, enc_mask, bias, deterministic)
         return self.seq2seq.dec_final_ln(x)
 
     def _token_logits(self, dec_hidden):

@@ -314,7 +314,7 @@ def _causal_add(L, S):
 
 
 def _mha_drop_fwd_kernel(
-    seed_ref, q_ref, k_ref, v_ref, pad_ref, o_ref,
+    seed_ref, q_ref, k_ref, v_ref, pad_ref, bias_ref, o_ref,
     *, scale, threshold, inv_keep, H, hd, causal, hw_prng,
 ):
     b = pl.program_id(0)
@@ -323,9 +323,9 @@ def _mha_drop_fwd_kernel(
     # additive mask built IN KERNEL from iota + the (TB, S) pad row —
     # materializing a (B, L, S) mask in HBM costs more than the whole
     # attention at these shapes
-    mask = pad_ref[...][:, None, :]  # (TB, 1, S)
+    base = pad_ref[...][:, None, :]  # (TB, 1, S)
     if causal:
-        mask = mask + _causal_add(L, S)[None]
+        base = base + _causal_add(L, S)[None]
     for h in range(H):
         if hw_prng:
             pltpu.prng_seed(seed_ref[0] + (b * H + h) * jnp.int32(_ODD_MIX))
@@ -333,6 +333,7 @@ def _mha_drop_fwd_kernel(
         qh = q_ref[:, :, sl].astype(jnp.float32)  # (TB, L, hd)
         kh = k_ref[:, :, sl].astype(jnp.float32)
         vh = v_ref[:, :, sl].astype(jnp.float32)
+        mask = base + bias_ref[h][None]  # learned (H, L, S) bias (T5)
         scores = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -349,16 +350,21 @@ def _mha_drop_fwd_kernel(
 
 
 def _mha_drop_bwd_kernel(
-    seed_ref, q_ref, k_ref, v_ref, pad_ref, do_ref,
-    dq_ref, dk_ref, dv_ref,
+    seed_ref, q_ref, k_ref, v_ref, pad_ref, bias_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, dbias_ref,
     *, scale, threshold, inv_keep, H, hd, causal, hw_prng,
 ):
     b = pl.program_id(0)
     L = q_ref.shape[1]
     S = k_ref.shape[1]
-    mask = pad_ref[...][:, None, :]
+    base = pad_ref[...][:, None, :]
     if causal:
-        mask = mask + _causal_add(L, S)[None]
+        base = base + _causal_add(L, S)[None]
+
+    @pl.when(b == 0)
+    def _():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
     for h in range(H):
         if hw_prng:
             pltpu.prng_seed(seed_ref[0] + (b * H + h) * jnp.int32(_ODD_MIX))
@@ -367,6 +373,7 @@ def _mha_drop_bwd_kernel(
         kh = k_ref[:, :, sl].astype(jnp.float32)
         vh = v_ref[:, :, sl].astype(jnp.float32)
         do = do_ref[:, :, sl].astype(jnp.float32)
+        mask = base + bias_ref[h][None]
         scores = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -387,6 +394,7 @@ def _mha_drop_bwd_kernel(
         )
         dpr = jnp.where(keep, dpd * inv_keep, 0.0)
         ds = p_raw * (dpr - jnp.sum(dpr * p_raw, axis=-1, keepdims=True))
+        dbias_ref[h] += jnp.sum(ds, axis=0)
         dq_ref[:, :, sl] = (jax.lax.dot_general(
             ds, kh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -397,14 +405,21 @@ def _mha_drop_bwd_kernel(
         ) * scale).astype(dk_ref.dtype)
 
 
-_DROP_TB = 32  # batch rows per grid cell
+def _drop_tb(L: int, S: int) -> int:
+    """Batch rows per grid cell: the backward holds ~7 (TB, L, S) f32
+    temporaries in VMEM, so TB scales down with the score area (32 at
+    L=S=50 — measured fastest — down to 4 at SID-protocol L≈300)."""
+    tb = 32
+    while tb > 8 and tb * L * S * 4 > 1_600_000:  # 8 = min sublane tile
+        tb //= 2
+    return tb
 
 
-def _mha_drop_call(kernel, n_outs, seed, q, k, v, pad_rows, extra,
-                   H, hd, causal, interpret, rate, scale):
+def _mha_drop_call(kernel, seed, q, k, v, pad_rows, bias, extra,
+                   H, hd, causal, interpret, rate, scale, with_grads):
     B, L, D = q.shape
     S = k.shape[1]
-    TB = _DROP_TB
+    TB = _drop_tb(L, S)
     Bp = _round_up(B, TB)
     if Bp != B:
         padb = ((0, Bp - B), (0, 0), (0, 0))
@@ -418,6 +433,20 @@ def _mha_drop_call(kernel, n_outs, seed, q, k, v, pad_rows, extra,
     q_spec = lambda n: pl.BlockSpec(
         (TB, n, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    bias_spec = pl.BlockSpec(
+        (H, L, S), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    if with_grads:
+        out_specs = [q_spec(L), q_spec(S), q_spec(S), bias_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct((Bp, L, D), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, S, D), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, S, D), jnp.float32),
+            jax.ShapeDtypeStruct((H, L, S), jnp.float32),
+        ]
+    else:
+        out_specs = [q_spec(L)]
+        out_shape = [jax.ShapeDtypeStruct((Bp, L, D), jnp.float32)]
     outs = pl.pallas_call(
         functools.partial(
             kernel, scale=scale, threshold=thr, inv_keep=inv_keep,
@@ -430,15 +459,13 @@ def _mha_drop_call(kernel, n_outs, seed, q, k, v, pad_rows, extra,
             pl.BlockSpec(
                 (TB, S), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
+            bias_spec,
         ] + [q_spec(L) for _ in extra],
-        out_specs=[q_spec(L if j == 0 else S) for j in range(n_outs)],
-        out_shape=[
-            jax.ShapeDtypeStruct((Bp, L if j == 0 else S, D), jnp.float32)
-            for j in range(n_outs)
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(seed, q, k, v, pad_rows, *extra)
-    return [o[:B] for o in outs]
+    )(seed, q, k, v, pad_rows, bias, *extra)
+    return [o[:B] if o.ndim == 3 and o.shape[0] == Bp else o for o in outs]
 
 
 def _pad_rows(key_padding_mask, B, S):
@@ -447,20 +474,20 @@ def _pad_rows(key_padding_mask, B, S):
     return jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _mha_dropout_fused(
-    q, k, v, seed, num_heads, causal, rate, scale, interpret,
+    q, k, v, seed, bias, num_heads, causal, rate, scale, interpret,
     key_padding_mask,
 ):
     out, _ = _mha_dropout_fused_fwd(
-        q, k, v, seed, num_heads, causal, rate, scale, interpret,
+        q, k, v, seed, bias, num_heads, causal, rate, scale, interpret,
         key_padding_mask,
     )
     return out
 
 
 def _mha_dropout_fused_fwd(
-    q, k, v, seed, num_heads, causal, rate, scale, interpret,
+    q, k, v, seed, bias, num_heads, causal, rate, scale, interpret,
     key_padding_mask,
 ):
     B, L, D = q.shape
@@ -469,28 +496,33 @@ def _mha_dropout_fused_fwd(
     sc = scale if scale is not None else 1.0 / (hd**0.5)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     out = _mha_drop_call(
-        _mha_drop_fwd_kernel, 1, seed_arr, q, k, v,
-        _pad_rows(key_padding_mask, B, S), [],
-        num_heads, hd, causal, interpret, rate, sc,
+        _mha_drop_fwd_kernel, seed_arr, q, k, v,
+        _pad_rows(key_padding_mask, B, S), bias.astype(jnp.float32), [],
+        num_heads, hd, causal, interpret, rate, sc, with_grads=False,
     )[0]
-    return out.astype(q.dtype), (q, k, v, seed, key_padding_mask)
+    return out.astype(q.dtype), (q, k, v, seed, bias, key_padding_mask)
 
 
-def _mha_dropout_fused_bwd(num_heads, causal, rate, scale, interpret, res, g):
-    q, k, v, seed, key_padding_mask = res
+def _mha_dropout_fused_bwd(
+    num_heads, causal, rate, scale, interpret, res, g
+):
+    q, k, v, seed, bias, key_padding_mask = res
     B, L, D = q.shape
     S = k.shape[1]
     hd = D // num_heads
     sc = scale if scale is not None else 1.0 / (hd**0.5)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
-    dq, dk, dv = _mha_drop_call(
-        _mha_drop_bwd_kernel, 3, seed_arr, q, k, v,
-        _pad_rows(key_padding_mask, B, S), [g.astype(jnp.float32)],
-        num_heads, hd, causal, interpret, rate, sc,
+    dq, dk, dv, dbias = _mha_drop_call(
+        _mha_drop_bwd_kernel, seed_arr, q, k, v,
+        _pad_rows(key_padding_mask, B, S), bias.astype(jnp.float32),
+        [g.astype(jnp.float32)],
+        num_heads, hd, causal, interpret, rate, sc, with_grads=True,
     )
     return (
         dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-        None, None,
+        None,  # seed
+        dbias.astype(bias.dtype),
+        None,  # key_padding_mask
     )
 
 
@@ -502,20 +534,29 @@ def mha_dropout_pallas(
     dropout_rate, dropout_rng, interpret: bool = False,
 ):
     """Training attention with in-kernel hardware-PRNG dropout on the
-    probabilities: 8 batch rows per grid cell, heads looped inside the
+    probabilities: a grid cell per batch tile, heads looped inside the
     kernel (packed in the lane dim), the additive mask built from iota +
     per-row pad vectors IN VMEM, and the backward REGENERATING the
     dropout mask from the same per-(cell, head) seed — scores, probs and
     the mask never touch HBM. Statistically equivalent to
     `mha_reference` with dropout (identical math, a different — still
     i.i.d. Bernoulli — mask stream); bit-identical when
-    dropout_rate == 0. `bias` is unsupported (no bias grads) — callers
-    dispatch here only with bias=None."""
-    assert bias is None
+    dropout_rate == 0 (up to fully-masked rows, which both paths zero).
+
+    ``bias``: optional LEARNED (H, L, S) additive bias shared across the
+    batch (T5 relative-position bias) — gradients flow (dbias is
+    accumulated across grid cells in-kernel). Batch-dependent biases are
+    unsupported — callers dispatch those to the jnp path."""
+    if bias is None:
+        H = num_heads
+        bias = jnp.zeros((H, q.shape[1], k.shape[1]), jnp.float32)
+    else:
+        bias = jnp.squeeze(bias, axis=0) if bias.ndim == 4 else bias
+        assert bias.ndim == 3, "bias must be (H, L, S) (batch-shared)"
     seed = jax.random.randint(
         dropout_rng, (), -(2**31), 2**31 - 1, dtype=jnp.int32
     )
     return _mha_dropout_fused(
-        q, k, v, seed, num_heads, causal, float(dropout_rate), scale,
+        q, k, v, seed, bias, num_heads, causal, float(dropout_rate), scale,
         interpret, key_padding_mask,
     )

@@ -85,7 +85,19 @@ class MultiHeadAttn(nn.Module):
     head_dim: Optional[int] = None  # T5 d_kv: decoupled from dim//H
 
     @nn.compact
-    def __call__(self, q_in, kv_in, mask, bias=None, deterministic=True):
+    def __call__(self, q_in, kv_in, mask, bias=None, deterministic=True,
+                 causal=False, key_padding=None):
+        """``mask`` is the legacy dense boolean (True = keep) used by the
+        jnp path; when the structured form is supplied instead
+        (``causal`` + ``key_padding`` (B, S) True = VALID), training on
+        TPU routes through the fused Pallas kernel
+        (ops/attention.mha_dropout_pallas): SID protocols run L≈300
+        tokens, so the per-layer (B, H, 300, 300) score/prob/mask
+        tensors are the training bottleneck — the kernel keeps them in
+        VMEM and regenerates the dropout mask in the backward, with the
+        learned T5 bias getting exact in-kernel dbias accumulation."""
+        import os
+
         H = self.num_heads
         # T5 keeps d_kv fixed (64) regardless of num_heads; dim//H would
         # give lane-hostile 21-wide heads at d_model=128, H=6
@@ -95,6 +107,49 @@ class MultiHeadAttn(nn.Module):
         q = nn.DenseGeneral((H, hd), use_bias=False, kernel_init=init, name="q")(q_in)
         k = nn.DenseGeneral((H, hd), use_bias=False, kernel_init=init, name="k")(kv_in)
         v = nn.DenseGeneral((H, hd), use_bias=False, kernel_init=init, name="v")(kv_in)
+
+        structured = mask is None  # callers pass causal/key_padding instead
+        interpret = bool(os.environ.get("RECBOARD_FUSED_ATTN_INTERPRET"))
+        use_fused = (
+            structured
+            and not deterministic
+            and (jax.default_backend() == "tpu" or interpret)
+        )
+        if use_fused:
+            from ..ops.attention import mha_dropout_pallas
+
+            B, L = q.shape[0], q.shape[1]
+            S = k.shape[1]
+            rng = (
+                self.make_rng("dropout")
+                if self.dropout > 0.0
+                else jax.random.PRNGKey(0)
+            )
+            kpm = None if key_padding is None else ~key_padding  # True=masked
+            out = mha_dropout_pallas(
+                q.reshape(B, L, H * hd),
+                k.reshape(B, S, H * hd),
+                v.reshape(B, S, H * hd),
+                H, causal, kpm,
+                None if bias is None else bias,
+                1.0,  # T5 does not scale by sqrt(hd)
+                self.dropout, rng, interpret=interpret,
+            ).reshape(B, L, H, hd)
+            return nn.DenseGeneral(
+                self.dim, axis=(-2, -1), use_bias=False, kernel_init=init,
+                name="o",
+            )(out)
+
+        if structured:
+            # build the dense mask the jnp path expects
+            Lq, Sk = q.shape[1], k.shape[1]
+            m = None
+            if causal:
+                m = jnp.tril(jnp.ones((Lq, Sk), dtype=bool), k=Sk - Lq)[None, None]
+            if key_padding is not None:
+                kp = key_padding[:, None, None, :]
+                m = kp if m is None else m & kp
+            mask = m
         # T5 does not scale by sqrt(hd)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         if bias is not None:
@@ -131,10 +186,11 @@ class EncoderBlock(nn.Module):
     head_dim: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, mask, bias, deterministic=True):
+    def __call__(self, x, key_padding, bias, deterministic=True):
         n = RMSNorm()(x)  # ONE pre-norm shared by q and kv, as in T5
         h = MultiHeadAttn(self.dim, self.num_heads, self.dropout, self.head_dim)(
-            n, n, mask, bias, deterministic
+            n, n, None, bias, deterministic,
+            causal=False, key_padding=key_padding,
         )
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = FFN(self.dim, self.ffn_dim, self.dropout)(
@@ -151,18 +207,19 @@ class DecoderBlock(nn.Module):
     head_dim: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, enc, self_mask, cross_mask, bias, deterministic=True):
+    def __call__(self, x, enc, enc_valid, bias, deterministic=True):
         n = RMSNorm()(x)  # ONE pre-norm shared by q and kv, as in T5
         h = MultiHeadAttn(self.dim, self.num_heads, self.dropout, self.head_dim,
                           name="self_attn")(
-            n, n, self_mask, bias, deterministic
+            n, n, None, bias, deterministic, causal=True
         )
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         # T5 cross-attention normalizes the decoder stream only; the
         # encoder output arrives already final-layer-normed
         h = MultiHeadAttn(self.dim, self.num_heads, self.dropout, self.head_dim,
                           name="cross_attn")(
-            RMSNorm()(x), enc, cross_mask, None, deterministic
+            RMSNorm()(x), enc, None, None, deterministic,
+            causal=False, key_padding=enc_valid,
         )
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = FFN(self.dim, self.ffn_dim, self.dropout)(
@@ -207,7 +264,7 @@ class Seq2SeqTransformer(nn.Module):
             else EncoderBlock
         )
         Dec = (
-            nn.remat(DecoderBlock, static_argnums=(6,))
+            nn.remat(DecoderBlock, static_argnums=(5,))
             if self.remat
             else DecoderBlock
         )
@@ -225,12 +282,11 @@ class Seq2SeqTransformer(nn.Module):
         self.dec_final_ln = RMSNorm()
 
     def encode(self, input_ids: jnp.ndarray, deterministic: bool = True):
-        mask = input_ids != self.pad_id  # (B, L)
+        mask = input_ids != self.pad_id  # (B, L) True = valid
         x = self.shared(input_ids)
-        attn_mask = mask[:, None, None, :]  # (B, 1, 1, L)
         bias = self.enc_bias(input_ids.shape[1], input_ids.shape[1])
         for block in self.encoder_blocks:
-            x = block(x, attn_mask, bias, deterministic)
+            x = block(x, mask, bias, deterministic)
         return self.enc_final_ln(x), mask
 
     def decode(
@@ -242,11 +298,9 @@ class Seq2SeqTransformer(nn.Module):
     ) -> jnp.ndarray:
         Bq = decoder_ids.shape[1]
         x = self.shared(decoder_ids)
-        causal = jnp.tril(jnp.ones((Bq, Bq), dtype=bool))[None, None]
-        cross = enc_mask[:, None, None, :]
         bias = self.dec_bias(Bq, Bq)
         for block in self.decoder_blocks:
-            x = block(x, enc_out, causal, cross, bias, deterministic)
+            x = block(x, enc_out, enc_mask, bias, deterministic)
         x = self.dec_final_ln(x)
         # tied head, T5-style rescale
         logits = jnp.einsum(

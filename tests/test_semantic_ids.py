@@ -363,3 +363,33 @@ def test_letter_tokenizer_diversity_and_kmeans(tiny_dataset, tmp_path):
             listed = set(members[l, c, : sizes[l, c]].tolist())
             expected = set(np.where(labels[l] == c)[0].tolist())
             assert listed == expected
+
+
+def test_seq2seq_fused_attention_matches_jnp(monkeypatch):
+    """The fused training-attention path inside Seq2SeqTransformer
+    (structured masks + learned T5 bias through
+    ops/attention.mha_dropout_pallas) equals the jnp path at dropout 0
+    on valid positions."""
+    import os
+
+    from recboard_tpu.sem.seq2seq import Seq2SeqTransformer
+
+    model = Seq2SeqTransformer(
+        vocab_size=30, dim=16, num_heads=2, num_encoder_layers=1,
+        num_decoder_layers=1, ffn_dim=32, dropout=0.0, pad_id=0, head_dim=8,
+    )
+    rng = np.random.default_rng(0)
+    enc_ids = jnp.asarray(rng.integers(1, 30, (4, 9)), jnp.int32)
+    enc_ids = enc_ids.at[:, 7:].set(0)  # trailing pads
+    dec_ids = jnp.asarray(rng.integers(1, 30, (4, 5)), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        enc_ids, dec_ids,
+    )
+    ref = model.apply(variables, enc_ids, dec_ids, False,
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+    monkeypatch.setenv("RECBOARD_FUSED_ATTN_INTERPRET", "1")
+    fused = model.apply(variables, enc_ids, dec_ids, False,
+                        rngs={"dropout": jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fused),
+                               atol=2e-4, rtol=2e-4)
