@@ -320,10 +320,12 @@ def _mha_drop_fwd_kernel(
     b = pl.program_id(0)
     L = q_ref.shape[1]
     S = k_ref.shape[1]
-    # additive mask built IN KERNEL from iota + the (TB, S) pad row —
+    # additive mask built IN KERNEL from iota + the (TB, 1, S) pad row —
     # materializing a (B, L, S) mask in HBM costs more than the whole
-    # attention at these shapes
-    base = pad_ref[...][:, None, :]  # (TB, 1, S)
+    # attention at these shapes. pad_rows rides as (B, 1, S) so its
+    # block's last two dims equal the array's — that frees TB from the
+    # 8-sublane divisibility rule (TB=2 at L=S≈300).
+    base = pad_ref[...]  # (TB, 1, S)
     if causal:
         base = base + _causal_add(L, S)[None]
     for h in range(H):
@@ -357,7 +359,7 @@ def _mha_drop_bwd_kernel(
     b = pl.program_id(0)
     L = q_ref.shape[1]
     S = k_ref.shape[1]
-    base = pad_ref[...][:, None, :]
+    base = pad_ref[...]  # (TB, 1, S)
     if causal:
         base = base + _causal_add(L, S)[None]
 
@@ -405,12 +407,35 @@ def _mha_drop_bwd_kernel(
         ) * scale).astype(dk_ref.dtype)
 
 
-def _drop_tb(L: int, S: int) -> int:
-    """Batch rows per grid cell: the backward holds ~7 (TB, L, S) f32
-    temporaries in VMEM, so TB scales down with the score area (32 at
-    L=S=50 — measured fastest — down to 4 at SID-protocol L≈300)."""
+# score areas above this head-split at the JAX level (see
+# mha_dropout_pallas): at TB=8 the multi-head backward's ~7 (TB, L, S)
+# f32 temporaries + the (H, L, S) bias/dbias pair exceed the 16 MB
+# scoped-VMEM limit (measured: 19 MB at B=256, L=S=300, H=4, D=256 —
+# the TIGER encoder shape)
+_SPLIT_AREA = 1_600_000 // (8 * 4)  # L*S beyond which TB=8 overflows
+
+
+def _drop_tb(L: int, S: int, hd: int, H: int) -> int:
+    """Batch rows per grid cell, from an explicit scoped-VMEM model.
+
+    Mosaic's kernel stack must fit 16 MB per cell. Three observed OOMs
+    at TIGER shapes (encoder fwd H=4 L=S=300 TB=8; cross-attn fwd and
+    bwd H=4 L=6 S=300 at TB=32/TB=8 — all ~19 MB) calibrate the terms:
+    the double-buffered io blocks (worst pass = backward: q/do/dq of
+    TB·L·D + k/v/dk/dv of TB·S·D), the per-head f32 q/k/v/do copies
+    live across the unrolled head loop, and ~7 (TB, L, S) score/prob
+    temporaries reused between heads. The 10 MB budget leaves slack for
+    whatever the allocator double-counts. L=S=50, D=64 models keep the
+    measured-fastest TB=32."""
+    D = H * hd
+    bias_io = 2 * H * L * S * 4
     tb = 32
-    while tb > 8 and tb * L * S * 4 > 1_600_000:  # 8 = min sublane tile
+    while tb > 1:
+        io = 2 * (3 * tb * L * D + 4 * tb * S * D) * 4
+        copies = H * tb * (2 * L + 2 * S) * hd * 4
+        temps = 7 * tb * L * S * 4
+        if io + copies + temps + bias_io <= 10_000_000:
+            break
         tb //= 2
     return tb
 
@@ -419,7 +444,7 @@ def _mha_drop_call(kernel, seed, q, k, v, pad_rows, bias, extra,
                    H, hd, causal, interpret, rate, scale, with_grads):
     B, L, D = q.shape
     S = k.shape[1]
-    TB = _drop_tb(L, S)
+    TB = _drop_tb(L, S, hd, H)
     Bp = _round_up(B, TB)
     if Bp != B:
         padb = ((0, Bp - B), (0, 0), (0, 0))
@@ -428,6 +453,7 @@ def _mha_drop_call(kernel, seed, q, k, v, pad_rows, bias, extra,
         v = jnp.pad(v, padb)
         extra = [jnp.pad(x, padb) for x in extra]
         pad_rows = jnp.pad(pad_rows, ((0, Bp - B), (0, 0)))
+    pad_rows = pad_rows[:, None, :]  # (Bp, 1, S): frees TB from sublane tiling
     thr = min(int(round(rate * 2**32)), 2**32 - 1)
     inv_keep = 1.0 / (1.0 - rate)
     q_spec = lambda n: pl.BlockSpec(
@@ -457,7 +483,7 @@ def _mha_drop_call(kernel, seed, q, k, v, pad_rows, bias, extra,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             q_spec(L), q_spec(S), q_spec(S),
             pl.BlockSpec(
-                (TB, S), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (TB, 1, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             bias_spec,
         ] + [q_spec(L) for _ in extra],
@@ -465,7 +491,9 @@ def _mha_drop_call(kernel, seed, q, k, v, pad_rows, bias, extra,
         out_shape=out_shape,
         interpret=interpret,
     )(seed, q, k, v, pad_rows, bias, *extra)
-    return [o[:B] if o.ndim == 3 and o.shape[0] == Bp else o for o in outs]
+    outs = list(outs)
+    n_batched = 3 if with_grads else 1  # dq/dk/dv (or o); dbias is (H, L, S)
+    return [o[:B] for o in outs[:n_batched]] + outs[n_batched:]
 
 
 def _pad_rows(key_padding_mask, B, S):
@@ -546,13 +574,35 @@ def mha_dropout_pallas(
     ``bias``: optional LEARNED (H, L, S) additive bias shared across the
     batch (T5 relative-position bias) — gradients flow (dbias is
     accumulated across grid cells in-kernel). Batch-dependent biases are
-    unsupported — callers dispatch those to the jnp path."""
+    unsupported — callers dispatch those to the jnp path.
+
+    Large score areas (L·S > ~50k, e.g. the TIGER encoder's L=S≈300 SID
+    protocol) dispatch one single-head kernel call per head: the
+    multi-head kernel's per-cell temporaries + the whole (H, L, S) bias
+    overflow the 16 MB scoped-VMEM limit there, while per-head calls
+    carry only an (L, S) bias slice and shrink the batch tile to 2."""
+    L, S = q.shape[1], k.shape[1]
     if bias is None:
         H = num_heads
-        bias = jnp.zeros((H, q.shape[1], k.shape[1]), jnp.float32)
+        bias = jnp.zeros((H, L, S), jnp.float32)
     else:
         bias = jnp.squeeze(bias, axis=0) if bias.ndim == 4 else bias
         assert bias.ndim == 3, "bias must be (H, L, S) (batch-shared)"
+    if num_heads > 1 and L * S > _SPLIT_AREA:
+        hd = q.shape[2] // num_heads
+        outs = []
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            seed_h = jax.random.randint(
+                jax.random.fold_in(dropout_rng, h), (),
+                -(2**31), 2**31 - 1, dtype=jnp.int32,
+            )
+            outs.append(_mha_dropout_fused(
+                q[:, :, sl], k[:, :, sl], v[:, :, sl], seed_h,
+                bias[h : h + 1], 1, causal, float(dropout_rate), scale,
+                interpret, key_padding_mask,
+            ))
+        return jnp.concatenate(outs, axis=-1)
     seed = jax.random.randint(
         dropout_rng, (), -(2**31), 2**31 - 1, dtype=jnp.int32
     )

@@ -35,23 +35,33 @@ __all__ = ["SemIDConverter", "SimpleTokenizer"]
 class SimpleTokenizer:
     """Minimal added-token vocabulary (HF-tokenizer shaped).
 
-    Mirrors the reference's doctest shim (TIGER/converter.py:84-97) —
-    the three-method surface is the protocol contract the converter
-    targets, so the shape is necessarily identical."""
+    The three-method surface (add_tokens / convert_tokens_to_ids /
+    __len__) is the protocol contract SemIDConverter targets — the same
+    duck type the reference exercises in its doctest shim
+    (TIGER/converter.py:84-97); a real HF tokenizer drops in for it."""
 
-    def __init__(self):
-        self.vocab: Dict[str, int] = {}
+    def __init__(self, tokens: Sequence = ()):
+        self._ids: Dict[str, int] = {}
+        if tokens:
+            self.add_tokens(tokens)
 
     def add_tokens(self, tokens) -> int:
-        for token in tokens:
-            self.vocab.setdefault(str(token), len(self.vocab))
-        return len(tokens)
+        added = 0
+        for token in map(str, tokens):
+            if token not in self._ids:
+                self._ids[token] = len(self._ids)
+                added += 1
+        return added
 
     def convert_tokens_to_ids(self, token: str) -> int:
-        return self.vocab[str(token)]
+        return self._ids[str(token)]
+
+    @property
+    def vocab(self) -> Dict[str, int]:
+        return self._ids
 
     def __len__(self) -> int:
-        return len(self.vocab)
+        return len(self._ids)
 
 
 class SemIDConverter:

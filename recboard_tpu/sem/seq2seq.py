@@ -113,6 +113,7 @@ class MultiHeadAttn(nn.Module):
         use_fused = (
             structured
             and not deterministic
+            and not os.environ.get("RECBOARD_DISABLE_FUSED_ATTN")  # A/B probe
             and (jax.default_backend() == "tpu" or interpret)
         )
         if use_fused:

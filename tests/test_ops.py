@@ -358,3 +358,87 @@ def test_mha_dropout_pallas_kernel():
         for i in idxs:
             fd = (f(arr.at[i].add(eps)) - f(arr.at[i].add(-eps))) / (2 * eps)
             assert abs(float(fd) - float(g[i])) < 5e-2 * max(1.0, abs(float(fd)))
+
+
+def test_mha_dropout_pallas_bias_grads():
+    """Learned-bias support in the fused dropout-attention kernel: at
+    rate 0 both the output and the bias gradient match the jnp
+    reference (dbias is accumulated across grid cells in-kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from recboard_tpu.ops.attention import mha_dropout_pallas, mha_reference
+
+    rng = np.random.default_rng(4)
+    B, L, D, H = 5, 10, 16, 2
+    q = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(H, L, L)), jnp.float32)
+    pad = jnp.asarray(rng.random((B, L)) < 0.3)
+    key = jax.random.PRNGKey(5)
+    cos = jnp.cos(jnp.arange(D))
+
+    def f_fused(b):
+        out = mha_dropout_pallas(q, k, v, H, True, pad, b, None, 0.0, key,
+                                 interpret=True)
+        return jnp.sum(out * cos)
+
+    def f_ref(b):
+        out = mha_reference(q, k, v, H, True, key_padding_mask=pad,
+                            bias=b[None])
+        return jnp.sum(out * cos)
+
+    np.testing.assert_allclose(float(f_fused(bias)), float(f_ref(bias)),
+                               rtol=1e-5)
+    g_fused = jax.grad(f_fused)(bias)
+    g_ref = jax.grad(f_ref)(bias)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_mha_dropout_pallas_head_split():
+    """Score areas above _SPLIT_AREA dispatch per-head single-head
+    kernel calls (VMEM: the multi-head kernel overflows the 16 MB
+    scoped limit at L=S≈300). Output and bias grads still match the
+    jnp reference at rate 0, and dropout masks differ across heads."""
+    import jax
+    import jax.numpy as jnp
+
+    from recboard_tpu.ops import attention as A
+
+    rng = np.random.default_rng(6)
+    B, L, D, H = 2, 240, 16, 2
+    assert L * L > A._SPLIT_AREA  # exercises the split path
+    q = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(H, L, L)), jnp.float32)
+    pad = jnp.asarray(rng.random((B, L)) < 0.2)
+    key = jax.random.PRNGKey(7)
+    cos = jnp.cos(jnp.arange(D))
+
+    def f_fused(b):
+        out = A.mha_dropout_pallas(q, k, v, H, False, pad, b, None, 0.0,
+                                   key, interpret=True)
+        return jnp.sum(out * cos)
+
+    def f_ref(b):
+        out = A.mha_reference(q, k, v, H, False, key_padding_mask=pad,
+                              bias=b[None])
+        return jnp.sum(out * cos)
+
+    np.testing.assert_allclose(float(f_fused(bias)), float(f_ref(bias)),
+                               rtol=1e-5)
+    g_fused = jax.grad(f_fused)(bias)
+    g_ref = jax.grad(f_ref)(bias)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)
+
+    # per-head seeds: the two heads must not share a dropout mask
+    out = A.mha_dropout_pallas(q, k, v, H, False, pad, bias, None, 0.5,
+                               key, interpret=True)
+    ref = A.mha_reference(q, k, v, H, False, key_padding_mask=pad,
+                          bias=bias[None])
+    d = np.abs(np.asarray(out) - np.asarray(ref)).reshape(B, L, H, D // H)
+    assert d[..., 0, :].max() > 1e-3 and d[..., 1, :].max() > 1e-3
