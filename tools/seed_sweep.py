@@ -133,10 +133,28 @@ def prepare_side_inputs(ds):
     from recboard_tpu.sem.converter import SemIDConverter
     from recboard_tpu.sem.kmeans import residual_kmeans_sids
 
+    U = ds.fields["USER", "ID"].count
     I = ds.fields["ITEM", "ID"].count
     feats_path = os.path.join(ds.path, FEATS)
     if not os.path.isfile(feats_path):
-        feats = np.random.default_rng(0).normal(size=(I, 24)).astype(np.float32)
+        # collaborative SVD item factors + noise — the synthetic
+        # stand-in for LM/vision features. Real modality features
+        # correlate with interaction structure; pure random features
+        # made the feature-DRIVEN models (AlphaRec's frozen text
+        # geometry, the k-means SID groups feeding TIGER/LETTER)
+        # structurally random on this store.
+        M = np.zeros((U, I), np.float32)
+        users, items = ds.train().to_bigraph_edges()
+        M[np.asarray(users), np.asarray(items)] = 1.0
+        M /= np.maximum(M.sum(1, keepdims=True), 1.0) ** 0.5
+        _, s, vt = np.linalg.svd(M, full_matrices=False)
+        k = 24
+        feats = (vt[:k].T * s[:k]).astype(np.float32)
+        feats /= max(np.abs(feats).max(), 1e-9)
+        feats += (
+            np.random.default_rng(0).normal(size=feats.shape).astype(np.float32)
+            * 0.02
+        )
         utils.export_pickle(feats, feats_path)
     else:
         feats = np.asarray(utils.import_pickle(feats_path), np.float32)
