@@ -238,6 +238,14 @@ def main():
     ap.add_argument("--dataset", default="SynBeauty_000_LOU")
     ap.add_argument("--num-users", type=int, default=800)
     ap.add_argument("--num-items", type=int, default=300)
+    ap.add_argument("--markov-strength", type=float, default=0.45)
+    ap.add_argument("--group-strength", type=float, default=0.45)
+    ap.add_argument("--avg-len", type=float, default=14.0)
+    ap.add_argument("--splitting", default="LOU", choices=("LOU", "ROU"),
+                    help="second store datasets: e.g. --dataset "
+                         "SynYelp_000_ROU --splitting ROU "
+                         "--markov-strength 0.1 --group-strength 0.75 "
+                         "(CF-favoring, the Yelp analogue)")
     ap.add_argument("--extra", default="",
                     help="comma-separated extra CLI args appended to every "
                          "run (A/B sweeps: --extra=--shared_negs,true)")
@@ -262,7 +270,10 @@ def main():
         synthetic.make_synthetic_dataset(
             args.root, args.dataset, num_users=args.num_users,
             num_items=args.num_items,
-            avg_len=14.0, seed=7, markov_strength=0.45, group_strength=0.45,
+            avg_len=args.avg_len, seed=7,
+            markov_strength=args.markov_strength,
+            group_strength=args.group_strength,
+            splitting=args.splitting,
         )
     ds = NextItemRecDataSet(args.root, args.dataset)
     prepare_side_inputs(ds)
