@@ -38,6 +38,7 @@ import numpy as np
 FEATS = "sweep_feats.pkl"
 CODES = "sweep_sem_codes.pkl"
 VOCAB = "sweep_sid_vocab.json"
+COLLAB = "collab_sasrec.pkl"
 
 TFILE = ["--tfile", FEATS]
 VFILE = ["--vfile", FEATS]
@@ -89,9 +90,13 @@ MODELS = {
     "BM3": VFILE + TFILE + ["--epochs", "20"],
     "MGCN": VFILE + TFILE + ["--epochs", "20"],
     "UniSRec": TFILE + ["--maxlen", "20"],
-    "E4SRec": TFILE + ["--maxlen", "20", "--backbone_dim", "32",
-                       "--num_blocks", "1", "--num-heads", "2",
-                       "--lora_rank", "4"],
+    # E4SRec's frozen item features are SASRec-PRETRAINED collaborative
+    # embeddings (reference feeds LLaMA SASRec-trained ID embeddings);
+    # raw SVD features measured 0.0317 vs 0.0412 NDCG@10 with the
+    # collab pickle (auto-dumped by prepare_side_inputs).
+    "E4SRec": ["--tfile", COLLAB, "--maxlen", "20", "--backbone_dim", "32",
+               "--num_blocks", "1", "--num-heads", "2",
+               "--lora_rank", "4"],
     "CCFRec": TFILE + ["--maxlen", "20", "--sem_codes_file", CODES,
                        "--num_negs", "8", "--hidden_size", "64"],
     "TIGER": ["--sid_vocab_file", VOCAB, "--epochs", "10",
@@ -126,6 +131,36 @@ FAMILY = {
     "DIGER": "Generative", "LETTER": "Generative", "R3-VAE": "Generative",
     "DeepFM": "CTR", "DCN": "CTR",
 }
+
+
+def prepare_collab_features(ds, args):
+    """SASRec-pretrained item embeddings (E4SRec/LETTER's collab input;
+    reference: LETTER/encode_collab_features.py). Trains one SASRec on
+    the sweep dataset and dumps its item table via the collab tool."""
+    import glob as _glob
+    import runpy
+
+    out = os.path.join(ds.path, COLLAB)
+    if os.path.isfile(out):
+        return
+    sys.argv = [
+        "run", "--model", "SASRec", "--root", args.root,
+        "--dataset", args.dataset, "--epochs", "15", "--maxlen", "20",
+        "--lr", "0.005", "--batch-size", "128", "--eval-freq", "5",
+        "--seed", "0", "--description", "collab_prep",
+        "--record-benchmark", "false",
+        "--log-path", "/tmp/seed_sweep/logs",
+        "--checkpoint-path", "/tmp/seed_sweep/infos",
+    ]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
+        runpy.run_module("recboard_tpu.run", run_name="__main__")
+    run_dir = sorted(_glob.glob(
+        f"/tmp/seed_sweep/logs/collab_prep/{args.dataset}/*"
+    ))[-1]
+    from tools import encode_collab_features
+
+    encode_collab_features.main(["--run", run_dir, "--output", COLLAB])
 
 
 def prepare_side_inputs(ds):
@@ -176,7 +211,7 @@ def run_pipeline_model(model, args, seed):
         "LETTER": ["--model", "LETTER", "--num_codewords", "16",
                    "--num_codebooks", "2", "--codebook_dim", "8",
                    "--hidden_dims", "16,8", "--num_diversity_clusters", "4",
-                   "--collab-feat-file", FEATS],
+                   "--collab-feat-file", COLLAB],
         "R3-VAE": ["--model", "R3-VAE", "--num_codewords", "16",
                    "--num_codebooks", "2"],
     }[model]
@@ -277,6 +312,9 @@ def main():
         )
     ds = NextItemRecDataSet(args.root, args.dataset)
     prepare_side_inputs(ds)
+    wanted_models = set(args.models.split(","))
+    if wanted_models & {"E4SRec", "LETTER"}:
+        prepare_collab_features(ds, args)
 
     import runpy
 
