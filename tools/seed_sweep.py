@@ -99,7 +99,12 @@ MODELS = {
                "--lora_rank", "4"],
     "CCFRec": TFILE + ["--maxlen", "20", "--sem_codes_file", CODES,
                        "--num_negs", "8", "--hidden_size", "64"],
-    "TIGER": ["--sid_vocab_file", VOCAB, "--epochs", "10",
+    # generative budgets: the T5 stage converges ~10x slower than the
+    # direct sequential models (probed trajectories: NDCG@10 0.025 @
+    # epoch 10 -> 0.065 @ 60 (lr 3e-3) -> 0.107 @ 100 (lr 1e-3);
+    # larger T5 capacity measured WORSE at equal epochs: 64-dim/2-layer
+    # hit 0.024 @ epoch 34 vs 0.058 for 32-dim/1-layer)
+    "TIGER": ["--sid_vocab_file", VOCAB, "--epochs", "100", "--lr", "0.001",
               "--tags", "rqkmeans"] + TINY_T5,
     "ETEGRec": SEM + TINY_JOINT + ["--epochs", "10", "--warm_epoch", "2",
                                    "--warmup_steps", "50",
@@ -218,12 +223,12 @@ def run_pipeline_model(model, args, seed):
     argv = [
         "tiger_pipeline.py", "--root", args.root, "--dataset", args.dataset,
         "--sem-feat-file", FEATS, "--rqvae-epochs", "15",
-        "--epochs", "10", "--batch-size", "128", "--maxlen", "20",
+        "--epochs", "100", "--batch-size", "128", "--maxlen", "20",
         "--num-beams", "10", "--seed", str(seed),
         "--out", f"/tmp/seed_sweep/{model}_{seed}",
         "--embedding_dim", "32", "--num_heads", "2", "--ffn_dim", "64",
         "--num_encoder_layers", "1", "--num_decoder_layers", "1",
-        "--eval-freq", "3", "--lr", "0.003",
+        "--eval-freq", "3", "--lr", "0.001",
         "--description", model, "--tags", FAMILY[model], "--tags", "tokenizer",
         "--record-benchmark", str(not args.no_record).lower(),
         "--benchmark-root", args.benchmark_root,
