@@ -187,12 +187,39 @@ def bench_torch(steps: int = 8, warmup: int = 2) -> float:
     return BATCH * steps / dt
 
 
+def bench_zoo(steps: int) -> dict:
+    """Driver-visible throughput for the OTHER hot families (the
+    headline covers only SASRec, the fastest; this keeps the slowest
+    — BERT4Rec, TIGER — in the round artifact too). Per-model
+    try/except so one flaky compile over the tunnel cannot sink the
+    headline."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools import tpu_bench
+
+    ds = tpu_bench._dataset()
+    out = {}
+    for name in ("gru4rec", "hstu", "bsarec", "bert4rec", "lightgcn",
+                 "tiger"):
+        try:
+            res = tpu_bench.BENCHES[name](ds, steps)
+            ms, bsz = res[0], (res[2] if len(res) > 2 else tpu_bench.BATCH)
+            out[name] = round(bsz / ms, 1)
+        except Exception:
+            out[name] = None
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     # 30-step chunks under-amortize the axon tunnel's per-dispatch cost
     # (~4 ms/chunk: measured 281k ex/s at 30 steps vs 323k at 60)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--no-torch-baseline", action="store_true")
+    ap.add_argument("--no-zoo", action="store_true",
+                    help="skip the per-family zoo sweep (headline only)")
     args = ap.parse_args()
 
     value = bench_jax(steps=args.steps)
@@ -203,6 +230,7 @@ def main():
             vs = value / torch_eps
         except Exception:
             vs = None
+    zoo = None if args.no_zoo else bench_zoo(steps=60)
     print(
         json.dumps(
             {
@@ -214,6 +242,9 @@ def main():
                 # torch SASRec step on THIS host's CPU (bench_torch) —
                 # the reference's CUDA hardware is not present here
                 "baseline": "torch-cpu same-host sasrec step",
+                # examples/s/chip for the other hot families at the
+                # same Beauty-scale config (B=1024 except TIGER's 256)
+                "zoo": zoo,
             }
         )
     )
