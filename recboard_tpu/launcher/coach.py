@@ -130,7 +130,11 @@ class Coach:
         self.which4best = str(cfg.get("which4best", "NDCG@10"))
         base, k = metrics_lib.parse_monitor(self.which4best)
         self._best_key = metrics_lib.fmt_metric(base, k)
-        self._best_caster = min if base in ("LOSS", "LOGLOSS") else max
+        # smaller-is-better for any *LOSS metric (LOSS, LOGLOSS,
+        # RECON_LOSS, ...) and rates; register_metric can override
+        self._best_caster = (
+            min if base.endswith("LOSS") or base == "COLLISION_RATE" else max
+        )
         self._best: Optional[float] = None
         self._best_epoch = -1
         self._stopping_steps = 0
@@ -756,8 +760,9 @@ class Coach:
         value = summary.get(self._best_key)
         if value is None:
             return
+        caster = self._best_casters.get(self._best_key, self._best_caster)
         improved = self._best is None or (
-            self._best_caster(value, self._best) == value and value != self._best
+            caster(value, self._best) == value and value != self._best
         )
         if improved:
             self._best = value

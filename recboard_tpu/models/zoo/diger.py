@@ -145,42 +145,6 @@ class DIGERCoach(ETEGRecCoach):
             update=self._template_update,
         )
 
-    def _init_state_eteg(self, batch):
-        fresh = self.state is None
-        super()._init_state_eteg(batch)
-        rqvae_path = self.cfg.get("rqvae_path")
-        if fresh and rqvae_path:
-            self._load_stage_a(str(rqvae_path))
-            self.refresh_item_codes()
-
-    def _load_stage_a(self, path: str) -> None:
-        """Transplant a stage-A RQVAE pickle (RQVAECoach.save payload)
-        into the joint model's encoder/codebooks."""
-        import numpy as np
-
-        from ... import utils
-        from ...launcher.coach import TrainState
-
-        payload = utils.import_pickle(path)
-        src = payload["params"] if isinstance(payload, dict) else payload
-        params = dict(self.state.params)
-        moved = 0
-        for k, v in src.items():
-            if k.startswith("enc_layers") and k in params:
-                params[k] = jax.tree.map(jnp.asarray, v)
-                moved += 1
-        if "quantizer" in src and "rq" in params:
-            rq = dict(params["rq"])
-            for k, v in src["quantizer"].items():
-                if k in rq:
-                    rq[k] = jnp.asarray(np.asarray(v))
-                    moved += 1
-            params["rq"] = rq
-        utils.infoLogger(f"[DIGER] >>> transplanted {moved} stage-A tensors")
-        self.state = TrainState(
-            params, self.state.opt_state, self.state.step, self.state.stats
-        )
-
     def train(self, epoch: int):
         if self.state is not None:
             self.refresh_item_codes()

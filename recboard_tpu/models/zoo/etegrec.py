@@ -750,7 +750,43 @@ class ETEGRecCoach(Coach):
         batch = dict(batch)
         batch["item_code"] = jnp.asarray(provisional)
         self._init_state(batch)
+        # warm-start the tokenizer from a stage-A RQVAE run
+        # (train_etegrec.py:169-170 model_id.load_state_dict); without
+        # it the codes churn from scratch and the generator chases a
+        # moving SID target — measured near-random on small data
+        rqvae_path = self.cfg.get("rqvae_path")
+        if rqvae_path:
+            self._load_stage_a(str(rqvae_path))
         self.refresh_item_codes()
+
+    def _load_stage_a(self, path: str) -> None:
+        """Transplant a stage-A RQVAE payload (Coach.save format: the
+        encoder MLP + quantizer codebooks) into the joint model's
+        enc_layers/rq params."""
+        from ... import utils
+        from ...launcher.coach import TrainState
+
+        payload = utils.import_pickle(path)
+        src = payload["params"] if isinstance(payload, dict) else payload
+        params = dict(self.state.params)
+        moved = 0
+        for k, v in src.items():
+            if k.startswith("enc_layers") and k in params:
+                params[k] = jax.tree.map(jnp.asarray, v)
+                moved += 1
+        if "quantizer" in src and "rq" in params:
+            rq = dict(params["rq"])
+            for k, v in src["quantizer"].items():
+                if k in rq:
+                    rq[k] = jnp.asarray(np.asarray(v))
+                    moved += 1
+            params["rq"] = rq
+        utils.infoLogger(
+            f"[{type(self).__name__}] >>> transplanted {moved} stage-A tensors"
+        )
+        self.state = TrainState(
+            params, self.state.opt_state, self.state.step, self.state.stats
+        )
 
     def evaluate(self, epoch: int, step: int = -1, mode: str = "valid") -> None:
         if self._item_code is None:

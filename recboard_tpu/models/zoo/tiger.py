@@ -185,6 +185,18 @@ class RQVAE(RecSysArch):
         z = self.encode(x)
         return self.quantizer.get_indices(z)
 
+    def eval_recon(self, items: jnp.ndarray) -> jnp.ndarray:
+        """Deterministic reconstruction loss at the HARD code assignment
+        (reference registers RECON_LOSS as a valid metric,
+        TIGER/train_rqvae.py:224-230; which4best can then target it)."""
+        x = self._feats[items]
+        z = self.encode(x)
+        q = self.quantizer.embed(self.quantizer.get_indices(z))
+        x_hat = self.decode(q)
+        if self.recon_reduction == "mean":
+            return jnp.mean(jnp.square(x_hat - x))
+        return jnp.sum(jnp.square(x_hat - x)) / items.shape[0]
+
     # ------------------------------------------ host-side init/refresh
     def post_init_params(self, params):
         """K-means codebook init (LETTER/quantizer.py:34-58): the
@@ -301,6 +313,18 @@ class RQVAECoach(Coach):
         collision = 1.0 - uniq / codes.shape[0]
         names = ["PPL", "COLLISION_RATE"] + [f"PPL#{i}" for i in range(len(ppls))]
         values = [float(np.mean(ppls)), collision] + ppls
+        try:
+            recon = float(
+                self.model.apply(
+                    {"params": self.state.params},
+                    jnp.arange(model.Item.count),
+                    method="eval_recon",
+                )
+            )
+            names.append("RECON_LOSS")
+            values.append(recon)
+        except Exception:  # archs without eval_recon (R3-VAE coach reuse)
+            pass
         self.monitor(*values, n=1, reduction="mean", mode=mode, pool=names)
 
     def save_sid_vocab(self, file_: Optional[str] = None) -> str:

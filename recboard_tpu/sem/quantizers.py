@@ -141,6 +141,12 @@ class _QuantizerBase(nn.Module):
             return 0.0
         return float(self.sk_epsilons[l])
 
+    def embed(self, ids: jnp.ndarray) -> jnp.ndarray:
+        """Hard (deterministic) reconstruction from code indices
+        (.., L) → (.., D): the residual sum of codebook rows."""
+        books = self._codebooks()
+        return sum(books[l][ids[..., l]] for l in range(self.num_codebooks))
+
     def match(self, x: jnp.ndarray, codebook: jnp.ndarray, l: int):
         dist = _cdist(x, codebook)
         if self._eps(l) > 0.0:
@@ -291,6 +297,10 @@ class ResidualSimVQQuantizer(_QuantizerBase):
             books = books * self.num_codebooks
         return books
 
+    def embed(self, ids: jnp.ndarray) -> jnp.ndarray:
+        books = self._projected_books()
+        return sum(books[l][ids[..., l]] for l in range(self.num_codebooks))
+
     def __call__(self, z: jnp.ndarray):
         books = self._projected_books()
         loss = 0.0
@@ -343,6 +353,11 @@ class ProductQuantizer(_QuantizerBase):
             ids_, _, _ = self.match(z[:, l, :], books[l], l)
             ids.append(ids_)
         return jnp.stack(ids, axis=-1)
+
+    def embed(self, ids: jnp.ndarray) -> jnp.ndarray:
+        books = self._codebooks()
+        parts = [books[l][ids[..., l]] for l in range(self.num_codebooks)]
+        return jnp.concatenate(parts, axis=-1)
 
 
 def _l2n(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:

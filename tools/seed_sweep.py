@@ -106,11 +106,22 @@ MODELS = {
     # hit 0.024 @ epoch 34 vs 0.058 for 32-dim/1-layer)
     "TIGER": ["--sid_vocab_file", VOCAB, "--epochs", "100", "--lr", "0.001",
               "--tags", "rqkmeans"] + TINY_T5,
-    "ETEGRec": SEM + TINY_JOINT + ["--epochs", "10", "--warm_epoch", "2",
-                                   "--warmup_steps", "50",
+    # ETEGRec/DIGER warm-start from a kmeans-init stage-A RQVAE (the
+    # reference's committed DIGER runs set rqvae_path + freeze_id_encoder
+    # and the ETEGRec config dir ships a stage-1 rqvae config); without
+    # it the from-scratch tokenizer COLLAPSES (PPL 1.07/16, 99% item
+    # collisions → beam search can only address ~16 items, measured
+    # random-level 0.012 NDCG@10 at any budget). The sweep trains the
+    # stage-A per seed and substitutes @RQVAE@ with its checkpoint.
+    "ETEGRec": SEM + TINY_JOINT + ["--epochs", "300", "--warm_epoch", "4",
+                                   "--warmup_steps", "50", "--lr", "0.001",
+                                   "--lr_id", "0.0001",
+                                   "--rqvae_path", "@RQVAE@",
                                    "--finetune_epochs", "0"],
-    "DIGER": SEM + TINY_JOINT + ["--epochs", "10",
-                                 "--freeze_id_encoder", "false"],
+    "DIGER": SEM + TINY_JOINT + ["--epochs", "200", "--lr", "0.001",
+                                 "--lr_id", "0.00001",
+                                 "--rqvae_path", "@RQVAE@",
+                                 "--freeze_id_encoder", "true"],
     # CTR family: synthetic PREDICTION dataset, AUC/LOGLOSS story
     "DeepFM": ["--epochs", "20"],
     "DCN": ["--epochs", "20"],
@@ -166,6 +177,35 @@ def prepare_collab_features(ds, args):
     from tools import encode_collab_features
 
     encode_collab_features.main(["--run", run_dir, "--output", COLLAB])
+
+
+def prepare_rqvae_stage_a(args, seed) -> str:
+    """Per-seed stage-A tokenizer (kmeans-init RQVAE on the sweep
+    features) for ETEGRec/DIGER warm starts. Returns the checkpoint
+    path (cached across models within a seed)."""
+    import runpy
+
+    ckpt = (f"/tmp/seed_sweep/infos/rqvae_s{seed}/{args.dataset}/0/"
+            "model.safetensors")
+    if os.path.isfile(ckpt):
+        return ckpt
+    sys.argv = [
+        "run", "--model", "RQVAE", "--root", args.root,
+        "--dataset", args.dataset, "--sem_feat_file", FEATS,
+        "--num_codewords", "16", "--num_codebooks", "2",
+        "--codebook_dim", "16", "--hidden_dims", "32,16",
+        "--epochs", "40", "--lr", "0.001", "--apply_kmeans_init", "true",
+        "--which4best", "RECON_LOSS", "--seed", str(seed),
+        "--description", f"rqvae_s{seed}", "--record-benchmark", "false",
+        "--log-path", "/tmp/seed_sweep/logs",
+        "--checkpoint-path", "/tmp/seed_sweep/infos",
+    ]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
+        runpy.run_module("recboard_tpu.run", run_name="__main__")
+    if not os.path.isfile(ckpt):
+        raise RuntimeError(f"stage-A RQVAE left no checkpoint at {ckpt}")
+    return ckpt
 
 
 def prepare_side_inputs(ds):
@@ -371,6 +411,9 @@ def main():
                     "--checkpoint-path", "/tmp/seed_sweep/infos",
                 ] + MODELS.get(model, [])
             argv += [a for a in args.extra.split(",") if a]
+            if "@RQVAE@" in argv:
+                ckpt = prepare_rqvae_stage_a(args, seed)
+                argv = [ckpt if a == "@RQVAE@" else a for a in argv]
             sys.argv = argv
             buf = io.StringIO()
             try:
