@@ -15,6 +15,13 @@ ported reference configs under configs/<Model>/<stage>/.
     # LETTER / R3-VAE: point --config-tokenizer at configs/LETTER/rqvae/*
     # or configs/R3-VAE/r3vae/*; stage B reuses TIGER's generator.
 
+    # ETEGRec / DIGER: stage B is the JOINT model warm-started from the
+    # stage-A checkpoint (reference rqvae_path, train_etegrec.py:169-170;
+    # a from-scratch tokenizer collapses — see docs/PERF.md):
+    python examples/tiger_pipeline.py --root ./data \
+        --config-tokenizer configs/ETEGRec/rqvae/Amazon2014Beauty_550_LOU.yaml \
+        --config-t5 configs/ETEGRec/etegrec/Amazon2014Beauty_550_LOU.yaml
+
     # flag-driven launch (no configs) still works:
     python examples/tiger_pipeline.py --root ./data --dataset X \
         --sem-feat-file sem_feats.pkl [--strategy ste|gumbel|rotation|simvq]
@@ -148,8 +155,42 @@ def main():
                 coach_a.evaluate(epoch, mode="valid")
                 coach_a._flush("valid", epoch)
         coach_a.save_sid_vocab(vocab_file)
+        coach_a.save_last()  # → the joint models' rqvae_path warm start
+        stage_a_ckpt = os.path.join(cfg_a.CHECKPOINT_PATH, cfg_a.SAVED_FILENAME)
         utils.infoLogger(f"[pipeline] >>> tokenizer SIDs → {vocab_file}")
     converter = SemIDConverter.load(vocab_file)
+
+    # ---- stage B': joint generative models (ETEGRec / DIGER) ------------
+    stage_b_model = None
+    if args.config_t5:
+        with open(args.config_t5) as fh:
+            stage_b_model = (yaml.safe_load(fh) or {}).get("model")
+    if stage_b_model in ("ETEGRec", "DIGER"):
+        import runpy
+
+        if kmeans_kind:
+            raise SystemExit(
+                f"{stage_b_model} needs a trained stage-A tokenizer "
+                "(rqvae config), not k-means SIDs"
+            )
+        sys.argv = [
+            "run", "--config", args.config_t5, "--root", args.root,
+            "--dataset", cfg_a.dataset, "--seed", str(args.seed),
+            "--rqvae_path", stage_a_ckpt,
+            "--description", stage_b_model,
+            "--log-path", os.path.join(args.out, "joint"),
+            "--checkpoint-path", os.path.join(args.out, "joint_ckpt"),
+        ]
+        for flag, val in (("--epochs", args.epochs),
+                          ("--batch-size", args.batch_size),
+                          ("--maxlen", args.maxlen),
+                          ("--num_beams", args.num_beams),
+                          ("--lr", args.lr)):
+            if val is not None:
+                sys.argv += [flag, str(val)]
+        sys.argv += list(passthrough)
+        runpy.run_module("recboard_tpu.run", run_name="__main__")
+        return None
 
     # ---- stage B: seq2seq generator -------------------------------------
     cfg_b = stage_cfg(

@@ -121,9 +121,13 @@ class DIGERCoach(ETEGRecCoach):
 
         cfg = self.cfg
         wd = float(cfg.get("weight_decay", 0.0) or 0.0)
-        lr_rec = float(cfg.get("lr_rec") or cfg.lr)
-        lr_id = float(cfg.get("lr_id") or lr_rec)
-        lr_sigma = float(cfg.get("lr_sigma") or lr_id)
+        # None-aware fallbacks (an explicit 0.0 freezes the group)
+        lr_rec = cfg.get("lr_rec")
+        lr_rec = float(cfg.lr if lr_rec in (None, "") else lr_rec)
+        lr_id = cfg.get("lr_id")
+        lr_id = float(lr_rec if lr_id in (None, "") else lr_id)
+        lr_sigma = cfg.get("lr_sigma")
+        lr_sigma = float(lr_id if lr_sigma in (None, "") else lr_sigma)
 
         def branch(lr):
             return optax.chain(

@@ -510,8 +510,12 @@ class ETEGRecCoach(Coach):
         rec_total = int(cfg.epochs) * spe
         id_total = max(rec_total // cyc, 1)
         warmup = int(cfg.get("warmup_steps", 8000))
-        lr_rec = float(cfg.get("lr_rec") or cfg.lr)
-        lr_id = float(cfg.get("lr_id") or cfg.lr)
+        # None-aware fallbacks: an explicit 0.0 must freeze the phase,
+        # not silently fall back to cfg.lr
+        lr_rec = cfg.get("lr_rec")
+        lr_rec = float(cfg.lr if lr_rec in (None, "") else lr_rec)
+        lr_id = cfg.get("lr_id")
+        lr_id = float(cfg.lr if lr_id in (None, "") else lr_id)
 
         def branch(lr, total, warm):
             return optax.chain(

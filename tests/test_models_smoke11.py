@@ -145,3 +145,65 @@ def test_diger_joint(tiny_dataset, tmp_path):
     coach.evaluate(2, mode="valid")
     summary = coach._flush("valid", 2)
     assert "NDCG@10" in summary
+
+
+def test_etegrec_stage_a_transplant(tiny_dataset, tmp_path):
+    """--rqvae_path warm-starts the joint tokenizer from a stage-A RQVAE
+    payload (reference model_id.load_state_dict, train_etegrec.py:
+    169-170): encoder + codebook tensors must land in the joint params."""
+    import jax
+    import jax.numpy as jnp
+
+    from recboard_tpu import utils
+    from recboard_tpu.models.zoo import ETEGRec, ETEGRecCoach, RQVAE
+    from recboard_tpu.parser import Parser
+
+    I = tiny_dataset.fields["ITEM", "ID"].count
+    feats = np.random.default_rng(0).normal(size=(I, 16)).astype(np.float32)
+    rqvae = RQVAE(
+        tiny_dataset, item_features=feats, num_codebooks=2, num_codewords=8,
+        codebook_dim=8, hidden_dims=(16,),
+    )
+    rq_params = rqvae.init(
+        {"params": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+        {rqvae.Item: jnp.arange(4)},
+        method="fit",
+    )["params"]
+    ckpt = tmp_path / "stage_a.pkl"
+    utils.export_pickle({"params": jax.tree.map(np.asarray, rq_params)}, str(ckpt))
+
+    model = ETEGRec(
+        tiny_dataset, item_features=feats, maxlen=6, num_codebooks=2,
+        num_codewords=8, codebook_dim=8, hidden_dims=(16,), embedding_dim=32,
+        num_heads=2, num_layers=1, num_decoder_layers=1, ffn_dim=64,
+        dropout_rate=0.0, num_beams=4,
+    )
+    p = Parser()
+    p.set_defaults(
+        description="ETEGRec", root="x", dataset="tiny", epochs=1,
+        # epoch 0 is an id epoch (cycle rule) — lr_id=0 keeps the
+        # transplanted tokenizer byte-stable through it
+        batch_size=16, lr=1e-3, lr_id=0.0, rqvae_path=str(ckpt), eval_freq=10,
+        log2file=False, log2console=False,
+        log_path=str(tmp_path / "l"), checkpoint_path=str(tmp_path / "i"),
+        monitors=["LOSS", "NDCG@10"], which4best="NDCG@10",
+    )
+    cfg = p.compile([])
+    coach = ETEGRecCoach(
+        dataset=tiny_dataset,
+        trainpipe=model.sure_trainpipe(6, 16),
+        validpipe=None, testpipe=None, model=model, cfg=cfg,
+    )
+    coach.train(0)  # triggers init + transplant
+    for l in range(2):
+        np.testing.assert_allclose(
+            np.asarray(coach.state.params["rq"][f"codebook_{l}"]),
+            np.asarray(rq_params["quantizer"][f"codebook_{l}"]),
+        )
+    enc_keys = [k for k in rq_params if k.startswith("enc_layers")]
+    assert enc_keys, "stage-A payload lost its encoder layers"
+    for k in enc_keys:
+        np.testing.assert_allclose(
+            np.asarray(coach.state.params[k]["kernel"]),
+            np.asarray(rq_params[k]["kernel"]),
+        )
