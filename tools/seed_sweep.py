@@ -128,7 +128,10 @@ MODELS = {
 }
 
 CTR_MODELS = {"DeepFM", "DCN"}
-PIPELINE_MODELS = {"LETTER", "R3-VAE"}  # two-stage generative pipeline
+# two-stage generative pipeline; TIGER-RQVAE records a second TIGER
+# tokenizer row (tag rqvae) next to the direct rqkmeans rows — the
+# reference's TIGER.json carries one row per tokenizer
+PIPELINE_MODELS = {"LETTER", "R3-VAE", "TIGER-RQVAE"}
 
 FAMILY = {
     "MF-BPR": "General", "LightGCN": "Graph", "SASRec": "Sequential",
@@ -259,7 +262,13 @@ def run_pipeline_model(model, args, seed):
                    "--collab-feat-file", COLLAB],
         "R3-VAE": ["--model", "R3-VAE", "--num_codewords", "16",
                    "--num_codebooks", "2"],
+        "TIGER-RQVAE": ["--model", "RQVAE", "--num_codewords", "16",
+                        "--num_codebooks", "2", "--codebook_dim", "8",
+                        "--hidden_dims", "16,8",
+                        "--apply_kmeans_init", "true"],
     }[model]
+    desc = "TIGER" if model == "TIGER-RQVAE" else model
+    tok_tag = "rqvae" if model == "TIGER-RQVAE" else "tokenizer"
     argv = [
         "tiger_pipeline.py", "--root", args.root, "--dataset", args.dataset,
         "--sem-feat-file", FEATS, "--rqvae-epochs", "15",
@@ -269,7 +278,7 @@ def run_pipeline_model(model, args, seed):
         "--embedding_dim", "32", "--num_heads", "2", "--ffn_dim", "64",
         "--num_encoder_layers", "1", "--num_decoder_layers", "1",
         "--eval-freq", "3", "--lr", "0.001",
-        "--description", model, "--tags", FAMILY[model], "--tags", "tokenizer",
+        "--description", desc, "--tags", FAMILY[desc], "--tags", tok_tag,
         "--record-benchmark", str(not args.no_record).lower(),
         "--benchmark-root", args.benchmark_root,
         "--log-path", "/tmp/seed_sweep/logs",
