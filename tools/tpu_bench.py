@@ -234,6 +234,43 @@ def bench_tiger(ds, steps):
     return ms, loss, B
 
 
+def bench_etegrec(ds, steps):
+    """Joint generative model at the reference Beauty config
+    (ETEGRec/configs/etegrec/Amazon2014Beauty_550_LOU.yaml: 3x256
+    codebooks dim 128, T5 128-dim 6+6 layers, B=512); times the rec
+    phase (the id phase measures the same, both ~28 ms on the v5e)."""
+    import jax
+    import jax.numpy as jnp
+
+    from recboard_tpu.data.tags import ID, ITEM
+    from recboard_tpu.models.zoo import REGISTRY
+
+    Item = ds.fields[ITEM, ID]
+    N = Item.count
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(N, 768)).astype(np.float32)
+    model = REGISTRY["ETEGRec"](
+        ds, item_features=feats, maxlen=20,
+        num_codebooks=3, num_codewords=256, codebook_dim=128,
+        hidden_dims=(512, 256), embedding_dim=128, num_heads=4,
+        num_layers=6, num_decoder_layers=6, ffn_dim=512, head_dim=64,
+    )
+    B = 512
+    item_code = np.concatenate(
+        [np.full((model.NUM_PADS, 4), -1, np.int64),
+         np.concatenate([rng.integers(0, 256, (N, 3)),
+                         rng.integers(0, 16, (N, 1))], axis=-1)],
+        axis=0,
+    )
+    batch = {
+        model.ISeq: jnp.asarray(rng.integers(1, N + 1, (B, 20)), jnp.int32),
+        model.IPos: jnp.asarray(rng.integers(0, N, (B, 1)), jnp.int32),
+        "item_code": jnp.asarray(item_code),
+    }
+    ms, loss = _measure(model, batch, steps, rngs_extra=("sampling",))
+    return ms, loss, B
+
+
 BENCHES = {
     "sasrec": bench_sasrec,
     "gru4rec": bench_gru4rec,
@@ -242,6 +279,7 @@ BENCHES = {
     "tiger": bench_tiger,
     "bsarec": bench_bsarec,
     "bert4rec": bench_bert4rec,
+    "etegrec": bench_etegrec,
 }
 
 
