@@ -214,6 +214,32 @@ def main(argv: Optional[list] = None):
         {"params": params, **stats}, method="reset_ranking_buffers"
     )
 
+    # joint generative models (ETEGRec/DIGER): their constrained beam
+    # search consumes the item codes + dense trie that the Coach
+    # injects during training — rebuild both from the checkpointed
+    # tokenizer so `recommend` serves them too
+    gen_extras = {}
+    if hasattr(type(model), "current_codes"):
+        from .models.zoo.etegrec import ETEGRecCoach, codes_with_check_digit
+
+        codes = np.asarray(
+            model.apply({"params": params, **stats}, method="current_codes")
+        )
+        full = codes_with_check_digit(codes, max_rank=model.num_codewords)
+        item_code = np.concatenate(
+            [np.full((model.NUM_PADS, full.shape[1]), -1, np.int64), full],
+            axis=0,
+        )
+        trie = ETEGRecCoach._build_trie(full, model)
+        gen_extras = {
+            "item_code": jnp.asarray(item_code),
+            "trie": tuple(jnp.asarray(t) for t in trie),
+        }
+        utils.infoLogger(
+            f"[recommend] >>> rebuilt {len(full)} item codes + trie "
+            f"({trie[0].shape[0]} nodes) from the tokenizer"
+        )
+
     k = int(args.topk)
     mask_seen = not args.retain_seen
 
@@ -261,6 +287,8 @@ def main(argv: Optional[list] = None):
     else:
         @jax.jit
         def score_topk(params, buffers, batch, seen_ids):
+            if gen_extras:
+                batch = {**batch, **gen_extras}
             scores = model.apply(
                 {"params": params, **stats}, batch, buffers,
                 method="recommend_from_full",
