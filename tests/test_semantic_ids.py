@@ -71,6 +71,15 @@ def test_quantizers(strategy):
         )[0].sum()
     )(z)
     assert float(jnp.abs(g).sum()) > 0
+    # hard reconstruction: embed(get_indices(z)) == the quantized value
+    # of the hard path (for non-gumbel, __call__'s value equals it too)
+    hard_ids = q.apply(variables, z, method="get_indices")
+    rec = q.apply(variables, hard_ids, method="embed")
+    assert rec.shape == z.shape
+    if strategy in ("ste", "rotation", "simvq", "product"):
+        np.testing.assert_allclose(
+            np.asarray(rec), np.asarray(z_hat), rtol=1e-5, atol=1e-5
+        )
 
 
 def test_converter_and_trie():
