@@ -21,7 +21,38 @@ import numpy as np
 
 from . import utils
 
-__all__ = ["record_run", "aggregate", "build_leaderboard_data"]
+__all__ = ["record_run", "write_meta", "aggregate", "build_leaderboard_data"]
+
+
+def write_meta(
+    benchmark_root: str,
+    dataset: str,
+    statistics: Dict[str, Any],
+    build_command: str = "",
+    description: str = "",
+    sort_by: str = "NDCG@10",
+    core_metrics: Optional[Sequence[str]] = None,
+) -> str:
+    """Write the dataset's ``meta.json`` (the reference L3 store carries
+    stats / build command / sort_by / core_metrics per dataset —
+    benchmark/<Dataset>/meta.json)."""
+    path = os.path.join(benchmark_root, dataset)
+    utils.mkdirs(path)
+    file_ = os.path.join(path, "meta.json")
+    meta = {
+        "description": description,
+        "build_command": build_command,
+        "sort_by": sort_by,
+        "core_metrics": list(
+            core_metrics
+            or ["HITRATE@10", "HITRATE@20", "NDCG@10", "NDCG@20"]
+        ),
+        "statistics": statistics,
+    }
+    with open(file_, "w") as fh:
+        json.dump(meta, fh, indent=2)
+        fh.write("\n")
+    return file_
 
 
 def record_run(

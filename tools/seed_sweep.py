@@ -307,6 +307,19 @@ def prepare_ctr(args):
     name = "SynCTR_000"
     if not os.path.isdir(os.path.join(args.root, "Processed", name)):
         make_synthetic_ctr_dataset(args.root, name, seed=3)
+    if not args.no_record:
+        from recboard_tpu import benchmark as B_
+
+        B_.write_meta(
+            args.benchmark_root, name,
+            statistics={"task": "CTR prediction (synthetic fields)"},
+            build_command="python tools/seed_sweep.py --models DeepFM,DCN",
+            description="synthetic CTR dataset with field schema "
+                        "(AUC/LOGLOSS story; reference CTR configs are "
+                        "Criteo/Frappe BARS with no committed store)",
+            sort_by="AUC",
+            core_metrics=["AUC", "LOGLOSS"],
+        )
     cfg_file = "/tmp/seed_sweep/ctr_fields.yaml"
     os.makedirs("/tmp/seed_sweep", exist_ok=True)
     with open(cfg_file, "w") as fh:
@@ -365,6 +378,30 @@ def main():
             splitting=args.splitting,
         )
     ds = NextItemRecDataSet(args.root, args.dataset)
+    if not args.no_record:
+        from recboard_tpu import benchmark as B_
+
+        U = ds.fields["USER", "ID"].count
+        I = ds.fields["ITEM", "ID"].count
+        inter = sum(len(v) for v in (ds.train(), ds.valid(), ds.test()))
+        B_.write_meta(
+            args.benchmark_root, args.dataset,
+            statistics={"#Users": U, "#Items": I, "#Interactions": inter,
+                        "Avg. Len.": round(inter / max(U, 1), 2)},
+            build_command=(
+                f"python tools/seed_sweep.py --dataset {args.dataset} "
+                f"--splitting {args.splitting} "
+                f"--markov-strength {args.markov_strength} "
+                f"--group-strength {args.group_strength} "
+                f"--num-users {args.num_users} --num-items {args.num_items}"
+            ),
+            description=(
+                f"synthetic planted-structure dataset (markov "
+                f"{args.markov_strength} / group {args.group_strength}, "
+                f"{args.splitting} split); no real Amazon/Yelp data in "
+                "this environment"
+            ),
+        )
     prepare_side_inputs(ds)
     wanted_models = set(args.models.split(","))
     if wanted_models & {"E4SRec", "LETTER"}:
