@@ -54,7 +54,7 @@ TINY_JOINT = ["--embedding_dim", "32", "--num_heads", "2", "--ffn_dim", "64",
 
 MODELS = {
     # model -> extra CLI args
-    "MF-BPR": ["--epochs", "30"],
+    "MF-BPR": ["--epochs", "200"],  # reference: 1000 epochs + early stop; 30 was cap-bound (probe: 0.027 -> 0.038)
     "SASRec": ["--maxlen", "20"],
     "GRU4Rec": ["--maxlen", "20"],
     "BSARec": ["--maxlen", "20"],
@@ -76,9 +76,12 @@ MODELS = {
     "GTE": ["--epochs", "1"],
     "SEvo": ["--maxlen", "20"],
     # --- r2 additions: the rest of the zoo -------------------------
-    "BERT4Rec": ["--maxlen", "20"],
+    # masked-LM curves are slow (reference gives BERT4Rec 500 epochs vs
+    # SASRec 300); the 15-epoch cap starved it to 0.041 — probes: 0.33 @
+    # 100, 0.40 @ 250
+    "BERT4Rec": ["--maxlen", "20", "--epochs", "250"],
     "GLINT-RU": ["--maxlen", "20"],
-    "RUM": ["--maxlen", "20"],
+    "RUM": ["--maxlen", "20", "--epochs", "200"],  # probe: 0.115 -> 0.224
     "LESSR": ["--maxlen", "20"],
     "SimpleX": ["--epochs", "30"],
     "UltraGCN": ["--epochs", "30"],
