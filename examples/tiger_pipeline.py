@@ -97,6 +97,15 @@ def main():
         argv += list(passthrough)
         return Parser().compile(argv)
 
+    # peek at the stage-B model first: a joint ETEGRec/DIGER stage B
+    # consumes RAW semantic features (train_etegrec.py:116-121), so its
+    # stage-A tokenizer must train in the same (un-normalized) space
+    stage_b_model = None
+    if args.config_t5:
+        with open(args.config_t5) as fh:
+            stage_b_model = (yaml.safe_load(fh) or {}).get("model")
+    joint_b = stage_b_model in ("ETEGRec", "DIGER")
+
     cfg_a = stage_cfg(
         args.config_tokenizer, "tokenizer",
         {
@@ -105,6 +114,7 @@ def main():
             "collab_feat_file": args.collab_feat_file,
             "quantization_strategy": args.strategy,
             "kmeans": args.kmeans,
+            "normalize_features": "false" if joint_b else None,
             "log-path": os.path.join(args.out, "tokenizer"),
             "checkpoint-path": os.path.join(args.out, "tokenizer_ckpt"),
         },
@@ -161,11 +171,7 @@ def main():
     converter = SemIDConverter.load(vocab_file)
 
     # ---- stage B': joint generative models (ETEGRec / DIGER) ------------
-    stage_b_model = None
-    if args.config_t5:
-        with open(args.config_t5) as fh:
-            stage_b_model = (yaml.safe_load(fh) or {}).get("model")
-    if stage_b_model in ("ETEGRec", "DIGER"):
+    if joint_b:
         import runpy
 
         if kmeans_kind:

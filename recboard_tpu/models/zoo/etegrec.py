@@ -775,7 +775,10 @@ class ETEGRecCoach(Coach):
         params = dict(self.state.params)
         moved = 0
         for k, v in src.items():
-            if k.startswith("enc_layers") and k in params:
+            # full stage-A module: encoder AND decoder MLPs (the
+            # reference's model_id.load_state_dict restores both)
+            if (k.startswith("enc_layers") or k.startswith("dec_layers")) \
+                    and k in params:
                 params[k] = jax.tree.map(jnp.asarray, v)
                 moved += 1
         if "quantizer" in src and "rq" in params:
@@ -785,6 +788,13 @@ class ETEGRecCoach(Coach):
                     rq[k] = jnp.asarray(np.asarray(v))
                     moved += 1
             params["rq"] = rq
+        if moved == 0:
+            raise ValueError(
+                f"rqvae_path {path!r} transplanted NOTHING — the payload's "
+                "keys don't match this tokenizer (expected enc_layers_*/"
+                "dec_layers_* + quantizer/codebook_*); training from "
+                "scratch would collapse (docs/PARITY.md)"
+            )
         utils.infoLogger(
             f"[{type(self).__name__}] >>> transplanted {moved} stage-A tensors"
         )

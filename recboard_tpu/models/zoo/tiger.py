@@ -75,6 +75,11 @@ class RQVAE(RecSysArch):
     diversity_weight: float = 0.0
     num_diversity_clusters: int = 10
     act: str = "silu"  # TIGER SiLU; LETTER ReLU (train_rqvae.py:97)
+    # TIGER L2-normalizes item features at load (train_rqvae.py:81);
+    # ETEGRec's stage-A trains on RAW features (train_etegrec.py:116-121
+    # loads without normalize) — set false when pretraining a tokenizer
+    # for an ETEGRec/DIGER warm start so the spaces match
+    normalize_features: bool = True
     recon_reduction: str = "sum"  # sum-MSE/B (TIGER) | mean (LETTER)
     commit_reduction: str = "sum"
     quant_normalize_loss: bool = True  # TIGER /L; LETTER raw sum
@@ -82,9 +87,10 @@ class RQVAE(RecSysArch):
 
     def setup(self):
         feats = np.asarray(self.item_features, np.float32)
-        feats = feats / np.maximum(
-            np.linalg.norm(feats, axis=-1, keepdims=True), 1e-12
-        )
+        if self.normalize_features:
+            feats = feats / np.maximum(
+                np.linalg.norm(feats, axis=-1, keepdims=True), 1e-12
+            )
         self._feats = jnp.asarray(feats)
         dims = [feats.shape[1], *self.hidden_dims, self.codebook_dim]
         self.enc_layers = [

@@ -40,6 +40,13 @@ def build_model(name: str, dataset: RecDataSet, cfg: Dict[str, Any]):
         )
     fields = model_field_names(cls)
     kwargs = {k: cfg[k] for k in fields if k in cfg and cfg[k] is not None}
+    # the reference's stage-A configs spell the codebook k-means init
+    # `kmeans_init` (ETEGRec/configs/rqvae); RQVAE's field uses LETTER's
+    # name `apply_kmeans_init` — alias so config-driven stage-A runs
+    # don't silently drop the init (a collapse risk, docs/PARITY.md)
+    if ("apply_kmeans_init" in fields and "apply_kmeans_init" not in kwargs
+            and cfg.get("kmeans_init") is not None):
+        kwargs["apply_kmeans_init"] = cfg["kmeans_init"]
     # reference configs write sequence hyperparameters as comma strings
     # parsed by cfg.<k>.split(",") (DeepFM/main.py:283 style:
     # "400,400,400", sk_epsilons "0.,0.,0.003") — coerce them to the

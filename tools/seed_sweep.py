@@ -201,6 +201,9 @@ def prepare_rqvae_stage_a(args, seed) -> str:
         "--num_codewords", "16", "--num_codebooks", "2",
         "--codebook_dim", "16", "--hidden_dims", "32,16",
         "--epochs", "40", "--lr", "0.001", "--apply_kmeans_init", "true",
+        # ETEGRec/DIGER consume RAW features (train_etegrec.py:116-121);
+        # train the stage-A in the same space
+        "--normalize_features", "false",
         "--which4best", "RECON_LOSS", "--seed", str(seed),
         "--description", f"rqvae_s{seed}", "--record-benchmark", "false",
         "--log-path", "/tmp/seed_sweep/logs",
@@ -461,7 +464,11 @@ def main():
                 ] + MODELS.get(model, [])
             argv += [a for a in args.extra.split(",") if a]
             if "@RQVAE@" in argv:
-                ckpt = prepare_rqvae_stage_a(args, seed)
+                try:
+                    ckpt = prepare_rqvae_stage_a(args, seed)
+                except Exception as e:  # keep the sweep going
+                    print(f"{model} seed {seed}: STAGE_A_FAIL {e}", flush=True)
+                    break
                 argv = [ckpt if a == "@RQVAE@" else a for a in argv]
             sys.argv = argv
             buf = io.StringIO()
