@@ -196,10 +196,13 @@ def bench_zoo(steps: int) -> dict:
     import os
     import sys
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from tools import tpu_bench
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools import tpu_bench
 
-    ds = tpu_bench._dataset()
+        ds = tpu_bench._dataset()
+    except Exception:  # never sink the headline JSON line
+        return None
     out = {}
     for name in ("gru4rec", "hstu", "bsarec", "bert4rec", "lightgcn",
                  "tiger"):

@@ -277,7 +277,7 @@ def run_pipeline_model(model, args, seed):
     tok_tag = "rqvae" if model == "TIGER-RQVAE" else "tokenizer"
     argv = [
         "tiger_pipeline.py", "--root", args.root, "--dataset", args.dataset,
-        "--sem-feat-file", FEATS, "--rqvae-epochs", "15",
+        "--sem-feat-file", FEATS, "--rqvae-epochs", "40",
         "--epochs", "100", "--batch-size", "128", "--maxlen", "20",
         "--num-beams", "10", "--seed", str(seed),
         "--out", f"/tmp/seed_sweep/{model}_{seed}",
