@@ -302,6 +302,16 @@ def run_pipeline_model(model, args, seed):
     return eval(line[-1].split("best:", 1)[1]) if line else {}
 
 
+# two CTR stores mirror the reference's two BARS datasets
+# (DeepFM/configs/{Criteo,Frappe}_x1_BARS.yaml): the Frappe analogue is
+# smaller-rows / higher-cardinality-fields
+CTR_VARIANTS = {
+    "SynCTR_000": dict(seed=3),
+    "SynFrappe_000": dict(num_users=500, num_items=200, num_cats=16,
+                          rows_per_split=(8000, 1500, 1500), seed=11),
+}
+
+
 def prepare_ctr(args):
     """Synthetic CTR dataset + a fields-schema config for the CLI."""
     import yaml
@@ -310,9 +320,9 @@ def prepare_ctr(args):
         CTR_FIELDS_CFG, make_synthetic_ctr_dataset,
     )
 
-    name = "SynCTR_000"
+    name = args.ctr_dataset
     if not os.path.isdir(os.path.join(args.root, "Processed", name)):
-        make_synthetic_ctr_dataset(args.root, name, seed=3)
+        make_synthetic_ctr_dataset(args.root, name, **CTR_VARIANTS[name])
     if not args.no_record:
         from recboard_tpu import benchmark as B_
 
@@ -354,6 +364,8 @@ def main():
                          "SynYelp_000_ROU --splitting ROU "
                          "--markov-strength 0.1 --group-strength 0.75 "
                          "(CF-favoring, the Yelp analogue)")
+    ap.add_argument("--ctr-dataset", default="SynCTR_000",
+                    choices=sorted(CTR_VARIANTS))
     ap.add_argument("--extra", default="",
                     help="comma-separated extra CLI args appended to every "
                          "run (A/B sweeps: --extra=--shared_negs,true)")
