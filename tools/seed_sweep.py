@@ -287,8 +287,13 @@ def run_pipeline_model(model, args, seed):
         "--description", desc, "--tags", FAMILY[desc], "--tags", tok_tag,
         "--record-benchmark", str(not args.no_record).lower(),
         "--benchmark-root", args.benchmark_root,
-        "--log-path", "/tmp/seed_sweep/logs",
-        "--checkpoint-path", "/tmp/seed_sweep/infos",
+        # ISOLATED checkpoint tree: pipeline stage-B shares the CLI
+        # description ("TIGER" for the store file), so a shared infos/
+        # root would let concurrent runs clobber each other's
+        # best.safetensors (observed: a 41-token TIGER-RQVAE best loaded
+        # into a 50-token rqkmeans run at load_best → shape error)
+        "--log-path", f"/tmp/seed_sweep/logs_{model}",
+        "--checkpoint-path", f"/tmp/seed_sweep/infos_{model}",
     ] + tok_extra
     sys.argv = argv
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
