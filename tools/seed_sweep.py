@@ -107,8 +107,8 @@ MODELS = {
     # epoch 10 -> 0.065 @ 60 (lr 3e-3) -> 0.107 @ 100 (lr 1e-3);
     # larger T5 capacity measured WORSE at equal epochs: 64-dim/2-layer
     # hit 0.024 @ epoch 34 vs 0.058 for 32-dim/1-layer)
-    "TIGER": ["--sid_vocab_file", VOCAB, "--epochs", "100", "--lr", "0.001",
-              "--tags", "rqkmeans"] + TINY_T5,
+    "TIGER": ["--sid_vocab_file", VOCAB, "--epochs", "100",
+              "--lr", "0.001"] + TINY_T5,
     # ETEGRec/DIGER warm-start from a kmeans-init stage-A RQVAE (the
     # reference's committed DIGER runs set rqvae_path + freeze_id_encoder
     # and the ETEGRec config dir ships a stage-1 rqvae config); without
@@ -131,6 +131,11 @@ MODELS = {
 }
 
 CTR_MODELS = {"DeepFM", "DCN"}
+# embedding-dim tag (reference rows tag the dim, e.g. ["Sequential","64"]);
+# the tiny generative/LLM configs run at 32
+DIM_TAG = {"TIGER": "32", "ETEGRec": "32", "DIGER": "32", "E4SRec": "32"}
+# extra per-model tags (TIGER's direct rows use the k-means tokenizer)
+EXTRA_TAGS = {"TIGER": ",rqkmeans"}
 # two-stage generative pipeline; TIGER-RQVAE records a second TIGER
 # tokenizer row (tag rqvae) next to the direct rqkmeans rows — the
 # reference's TIGER.json carries one row per tokenizer
@@ -274,7 +279,8 @@ def run_pipeline_model(model, args, seed):
                         "--apply_kmeans_init", "true"],
     }[model]
     desc = "TIGER" if model == "TIGER-RQVAE" else model
-    tok_tag = "rqvae" if model == "TIGER-RQVAE" else "tokenizer"
+    tok_tag = {"TIGER-RQVAE": "rqvae", "LETTER": "letter",
+               "R3-VAE": "r3-vae"}[model]
     argv = [
         "tiger_pipeline.py", "--root", args.root, "--dataset", args.dataset,
         "--sem-feat-file", FEATS, "--rqvae-epochs", "40",
@@ -284,7 +290,10 @@ def run_pipeline_model(model, args, seed):
         "--embedding_dim", "32", "--num_heads", "2", "--ffn_dim", "64",
         "--num_encoder_layers", "1", "--num_decoder_layers", "1",
         "--eval-freq", "3", "--lr", "0.001",
-        "--description", desc, "--tags", FAMILY[desc], "--tags", tok_tag,
+        # ONE comma-list: --tags has replace (not append) semantics, so a
+        # repeated flag silently keeps only the last value (r2 store bug:
+        # every row carried tags=["64"])
+        "--description", desc, "--tags", f"{FAMILY[desc]},32,{tok_tag}",
         "--record-benchmark", str(not args.no_record).lower(),
         "--benchmark-root", args.benchmark_root,
         # ISOLATED checkpoint tree: pipeline stage-B shares the CLI
@@ -467,6 +476,8 @@ def main():
                     "--checkpoint-path", "/tmp/seed_sweep/infos",
                 ] + MODELS.get(model, [])
             else:
+                tag = (FAMILY.get(model, "Model") + ","
+                       + DIM_TAG.get(model, "64") + EXTRA_TAGS.get(model, ""))
                 argv = [
                     "run", "--model", model, "--root", args.root,
                     "--dataset", args.dataset, "--epochs", str(args.epochs),
@@ -475,7 +486,7 @@ def main():
                     "--seed", str(seed), "--description", model,
                     "--record-benchmark", str(not args.no_record).lower(),
                     "--benchmark-root", args.benchmark_root,
-                    "--tags", FAMILY.get(model, "Model"), "--tags", "64",
+                    "--tags", tag,
                     "--log-path", "/tmp/seed_sweep/logs",
                     "--checkpoint-path", "/tmp/seed_sweep/infos",
                 ] + MODELS.get(model, [])
