@@ -364,6 +364,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default=",".join(MODELS))
     ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--seed-start", type=int, default=0,
+                    help="first seed (top up a partially-recorded row "
+                         "without duplicating its existing seeds)")
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--root", default="/tmp/seed_sweep/data")
     ap.add_argument("--benchmark-root", default="./benchmark")
@@ -447,7 +450,7 @@ def main():
     for model in wanted:
         metric = "AUC" if model in CTR_MODELS else "NDCG@10"
         vals = []
-        for seed in range(args.seeds):
+        for seed in range(args.seed_start, args.seeds):
             if model in PIPELINE_MODELS:
                 try:
                     best = run_pipeline_model(model, args, seed)
