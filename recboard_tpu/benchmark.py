@@ -12,6 +12,8 @@ build-data.mjs:49-66).
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import time
@@ -68,28 +70,36 @@ def record_run(
     path = os.path.join(benchmark_root, dataset)
     utils.mkdirs(path)
     file_ = os.path.join(path, f"{model}.json")
-    entries: List[Dict[str, Any]] = []
-    if os.path.isfile(file_):
-        with open(file_) as fh:
-            entries = json.load(fh)
-    tags = list(tags)
-    entry = next(
-        (e for e in entries if e.get("tags") == tags), None
-    )
-    if entry is None:
-        entry = {
-            "description": description,
-            "dataset": dataset,
-            "tags": tags,
-            "runs": [],
-            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
-            "config": config or {},
-        }
-        entries.append(entry)
-    entry["runs"].append(results)
-    entry["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
-    with open(file_, "w") as fh:
-        json.dump(entries, fh, indent=1)
+    # exclusive advisory lock so concurrent sweep processes (parallel
+    # per-seed runs) can't lose appends in the read-modify-write
+    with open(file_ + ".lock", "w") as lockfh:
+        with contextlib.suppress(OSError):  # non-POSIX fallback: best effort
+            fcntl.flock(lockfh, fcntl.LOCK_EX)
+        entries: List[Dict[str, Any]] = []
+        if os.path.isfile(file_):
+            with open(file_) as fh:
+                entries = json.load(fh)
+        tags = list(tags)
+        entry = next(
+            (e for e in entries if e.get("tags") == tags), None
+        )
+        if entry is None:
+            entry = {
+                "description": description,
+                "dataset": dataset,
+                "tags": tags,
+                "runs": [],
+                "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                "config": config or {},
+            }
+            entries.append(entry)
+        entry["runs"].append(results)
+        entry["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        with open(file_, "w") as fh:
+            json.dump(entries, fh, indent=1)
+    # the .lock file is left in place deliberately: unlinking it would
+    # let a new locker open a fresh inode while an old one still holds
+    # the removed file's lock (classic flock race); *.lock is gitignored
     return file_
 
 

@@ -68,3 +68,30 @@ def test_build_leaderboard_data(tmp_path):
     sas = next(m for m in models if m["model"] == "SASRec")
     assert sas["num_runs"] == 2
     assert sas["metrics"]["NDCG@10"]["mean"] == pytest.approx(0.035)
+
+
+def test_record_run_concurrent_appends(tmp_path):
+    """Parallel per-seed sweep processes append to the same store file;
+    the flock in record_run must not lose any run (pre-lock, the
+    read-modify-write raced and dropped appends)."""
+    import multiprocessing as mp
+
+    root = str(tmp_path / "benchmark")
+
+    procs = [
+        mp.Process(
+            target=B.record_run,
+            args=(root, "DS_C", "SASRec", _run(seed, 0.03)),
+            kwargs={"tags": ["Sequential", "64"]},
+        )
+        for seed in range(8)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+        assert p.exitcode == 0
+    entries = json.load(open(os.path.join(root, "DS_C", "SASRec.json")))
+    assert len(entries) == 1
+    seeds = sorted(r["params"]["seed"] for r in entries[0]["runs"])
+    assert seeds == list(range(8))

@@ -491,7 +491,12 @@ def main():
                     "--benchmark-root", args.benchmark_root,
                     "--tags", tag,
                     "--log-path", "/tmp/seed_sweep/logs",
-                    "--checkpoint-path", "/tmp/seed_sweep/infos",
+                    # per-SEED checkpoint tree: same-description runs
+                    # share infos/<desc>/<dataset>/<ordinal>, so seeds
+                    # of one model running in PARALLEL processes would
+                    # clobber each other's best.safetensors (the r2
+                    # TIGER store bug, this time across seeds)
+                    "--checkpoint-path", f"/tmp/seed_sweep/infos/s{seed}",
                 ] + MODELS.get(model, [])
             argv += [a for a in args.extra.split(",") if a]
             if "@RQVAE@" in argv:
