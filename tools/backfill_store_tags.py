@@ -48,7 +48,13 @@ def backfill(root):
                 if family == "CTR":
                     new = [family]
                 else:
-                    new = [family, DIM_TAG.get(model, "64")] + toks
+                    # pipeline rows (LETTER/R3-VAE/TIGER-RQVAE) record
+                    # dim 32 (seed_sweep.run_pipeline_model hard-codes
+                    # the tiny-T5 tag); future runs must merge into the
+                    # same entry, so the backfill must match
+                    dim = ("32" if model in ("LETTER", "R3-VAE")
+                           else DIM_TAG.get(model, "64"))
+                    new = [family, dim] + toks
                 if new != old:
                     entry["tags"] = new
                     dirty = True
