@@ -13,11 +13,15 @@ build-data.mjs:49-66).
 from __future__ import annotations
 
 import contextlib
-import fcntl
 import json
 import os
 import time
 from typing import Any, Dict, List, Optional, Sequence
+
+try:  # non-POSIX: no flock; appends fall back to best-effort (atomic rename
+    import fcntl  # still protects readers/crashes, not concurrent writers)
+except ImportError:  # pragma: no cover
+    fcntl = None  # type: ignore[assignment]
 
 import numpy as np
 
@@ -73,8 +77,9 @@ def record_run(
     # exclusive advisory lock so concurrent sweep processes (parallel
     # per-seed runs) can't lose appends in the read-modify-write
     with open(file_ + ".lock", "w") as lockfh:
-        with contextlib.suppress(OSError):  # non-POSIX fallback: best effort
-            fcntl.flock(lockfh, fcntl.LOCK_EX)
+        if fcntl is not None:
+            with contextlib.suppress(OSError):
+                fcntl.flock(lockfh, fcntl.LOCK_EX)
         entries: List[Dict[str, Any]] = []
         if os.path.isfile(file_):
             with open(file_) as fh:
@@ -95,8 +100,13 @@ def record_run(
             entries.append(entry)
         entry["runs"].append(results)
         entry["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
-        with open(file_, "w") as fh:
+        # atomic rename: lockless readers (leaderboard build, sweep
+        # aggregation) never see a truncated file, and a crash mid-dump
+        # can't corrupt the committed store
+        tmp = file_ + f".tmp{os.getpid()}"
+        with open(tmp, "w") as fh:
             json.dump(entries, fh, indent=1)
+        os.replace(tmp, file_)
     # the .lock file is left in place deliberately: unlinking it would
     # let a new locker open a fresh inode while an old one still holds
     # the removed file's lock (classic flock race); *.lock is gitignored

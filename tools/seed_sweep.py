@@ -136,10 +136,12 @@ CTR_MODELS = {"DeepFM", "DCN"}
 DIM_TAG = {"TIGER": "32", "ETEGRec": "32", "DIGER": "32", "E4SRec": "32"}
 # extra per-model tags (TIGER's direct rows use the k-means tokenizer)
 EXTRA_TAGS = {"TIGER": ",rqkmeans"}
-# two-stage generative pipeline; TIGER-RQVAE records a second TIGER
-# tokenizer row (tag rqvae) next to the direct rqkmeans rows — the
-# reference's TIGER.json carries one row per tokenizer
-PIPELINE_MODELS = {"LETTER", "R3-VAE", "TIGER-RQVAE"}
+# two-stage generative pipeline; the TIGER-* variants each record a
+# TIGER tokenizer row (tags rqvae/gumbel/rotation/simvq/pqkmeans) next
+# to the direct rqkmeans rows — the reference's TIGER.json carries one
+# entry per interchangeable tokenizer (7 entries on Beauty)
+PIPELINE_MODELS = {"LETTER", "R3-VAE", "TIGER-RQVAE", "TIGER-GUMBEL",
+                   "TIGER-ROTATION", "TIGER-SIMVQ", "TIGER-PQKMEANS"}
 
 FAMILY = {
     "MF-BPR": "General", "LightGCN": "Graph", "SASRec": "Sequential",
@@ -277,9 +279,30 @@ def run_pipeline_model(model, args, seed):
                         "--num_codebooks", "2", "--codebook_dim", "8",
                         "--hidden_dims", "16,8",
                         "--apply_kmeans_init", "true"],
+        # tokenizer variants (reference configs/TIGER/{rqvae_gumbel,
+        # rqvae_rotation,rqvae_simvq,pqkmeans}/): same tiny RQVAE shape,
+        # per-variant strategy + its distinguishing hyperparameters
+        "TIGER-GUMBEL": ["--model", "RQVAE", "--strategy", "gumbel",
+                         "--gumbel_temperature", "5.0",
+                         "--num_codewords", "16", "--num_codebooks", "2",
+                         "--codebook_dim", "8", "--hidden_dims", "16,8",
+                         "--apply_kmeans_init", "true"],
+        "TIGER-ROTATION": ["--model", "RQVAE", "--strategy", "rotation",
+                           "--num_codewords", "16", "--num_codebooks", "2",
+                           "--codebook_dim", "8", "--hidden_dims", "16,8",
+                           "--apply_kmeans_init", "true"],
+        "TIGER-SIMVQ": ["--model", "RQVAE", "--strategy", "simvq",
+                        "--commit_weight", "1.0",
+                        "--num_codewords", "16", "--num_codebooks", "2",
+                        "--codebook_dim", "8", "--hidden_dims", "16,8",
+                        "--apply_kmeans_init", "true"],
+        "TIGER-PQKMEANS": ["--kmeans", "product",
+                           "--num_codewords", "16", "--num_codebooks", "2"],
     }[model]
-    desc = "TIGER" if model == "TIGER-RQVAE" else model
-    tok_tag = {"TIGER-RQVAE": "rqvae", "LETTER": "letter",
+    desc = "TIGER" if model.startswith("TIGER-") else model
+    tok_tag = {"TIGER-RQVAE": "rqvae", "TIGER-GUMBEL": "gumbel",
+               "TIGER-ROTATION": "rotation", "TIGER-SIMVQ": "simvq",
+               "TIGER-PQKMEANS": "pqkmeans", "LETTER": "letter",
                "R3-VAE": "r3-vae"}[model]
     argv = [
         "tiger_pipeline.py", "--root", args.root, "--dataset", args.dataset,
@@ -296,13 +319,15 @@ def run_pipeline_model(model, args, seed):
         "--description", desc, "--tags", f"{FAMILY[desc]},32,{tok_tag}",
         "--record-benchmark", str(not args.no_record).lower(),
         "--benchmark-root", args.benchmark_root,
-        # ISOLATED checkpoint tree: pipeline stage-B shares the CLI
-        # description ("TIGER" for the store file), so a shared infos/
-        # root would let concurrent runs clobber each other's
-        # best.safetensors (observed: a 41-token TIGER-RQVAE best loaded
-        # into a 50-token rqkmeans run at load_best → shape error)
-        "--log-path", f"/tmp/seed_sweep/logs_{model}",
-        "--checkpoint-path", f"/tmp/seed_sweep/infos_{model}",
+        # ISOLATED checkpoint tree, per MODEL and per SEED: pipeline
+        # stage-B shares the CLI description ("TIGER" for the store
+        # file), so a shared infos/ root would let concurrent runs
+        # clobber each other's best.safetensors (observed: a 41-token
+        # TIGER-RQVAE best loaded into a 50-token rqkmeans run at
+        # load_best → shape error); the per-seed leaf makes parallel
+        # single-seed processes of the SAME variant safe too
+        "--log-path", f"/tmp/seed_sweep/logs_{model}/s{seed}",
+        "--checkpoint-path", f"/tmp/seed_sweep/infos_{model}/s{seed}",
     ] + tok_extra
     sys.argv = argv
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -363,7 +388,10 @@ def prepare_ctr(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default=",".join(MODELS))
-    ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--seeds", type=int, default=5,
+                    help="EXCLUSIVE end seed (seeds run "
+                         "[seed-start, seeds)); with the default "
+                         "seed-start 0 this is also the count")
     ap.add_argument("--seed-start", type=int, default=0,
                     help="first seed (top up a partially-recorded row "
                          "without duplicating its existing seeds)")
@@ -390,6 +418,13 @@ def main():
                     help="skip the benchmark store/leaderboard writes "
                          "(pure A/B comparisons)")
     args = ap.parse_args()
+    if args.seed_start >= args.seeds:
+        # --seeds is the EXCLUSIVE END seed once --seed-start is set
+        # (topping up 0-4 with 5 more = --seed-start 5 --seeds 10); an
+        # empty range is always a flag mistake — refuse it loudly
+        ap.error(f"empty seed range: --seed-start {args.seed_start} "
+                 f">= --seeds {args.seeds} (--seeds is the exclusive "
+                 "end seed, not a count)")
 
     import jax
 
@@ -476,7 +511,9 @@ def main():
                     "--benchmark-root", args.benchmark_root,
                     "--tags", FAMILY.get(model, "Model"),
                     "--log-path", "/tmp/seed_sweep/logs",
-                    "--checkpoint-path", "/tmp/seed_sweep/infos",
+                    # per-seed tree: parallel single-seed CTR processes
+                    # must not share infos/<desc> (clobbered best.safetensors)
+                    "--checkpoint-path", f"/tmp/seed_sweep/infos/s{seed}",
                 ] + MODELS.get(model, [])
             else:
                 tag = (FAMILY.get(model, "Model") + ","
