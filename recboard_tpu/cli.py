@@ -15,6 +15,7 @@ bench       Print the throughput benchmark JSON line.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from . import utils
@@ -23,8 +24,23 @@ from . import utils
 def cmd_make(argv):
     ap = argparse.ArgumentParser(prog="recboard_tpu make")
     ap.add_argument("name", help="output dataset name, e.g. Amazon2014Beauty_550_LOU")
-    ap.add_argument("raw", help="raw interactions TSV: user\titem[\trating[\tts]]")
+    ap.add_argument("raw", help="raw interactions file: a TSV "
+                    "(user\titem[\trating[\tts]]), or with --format "
+                    "amazon2023 a review .jsonl(.gz), or with --format "
+                    "amazon2014 a ratings CSV(.gz)")
     ap.add_argument("--root", default=".")
+    ap.add_argument("--format", choices=("tsv", "amazon2023", "amazon2014"),
+                    default="tsv",
+                    help="raw input format; amazon2023/amazon2014 run the "
+                         "data.amazon extractors first (the reference's "
+                         "preprocess_amazon2023_context.ipynb extract step)")
+    ap.add_argument("--meta-file", default=None,
+                    help="amazon2023 item metadata .jsonl(.gz); its "
+                         "TITLE/CATEGORIES/BRAND land in item.txt for the "
+                         "semantic-feature encoders (sem/encode.py)")
+    ap.add_argument("--min-rating", type=float, default=0.0,
+                    help="amazon2023: drop reviews below this rating at "
+                         "extraction time (star4pos filters post-extract)")
     ap.add_argument("--kcore4user", "-ku", type=int, default=5)
     ap.add_argument("--kcore4item", "-ki", type=int, default=5)
     ap.add_argument("--star4pos", "-sp", type=float, default=0)
@@ -33,10 +49,30 @@ def cmd_make(argv):
     args = ap.parse_args(argv)
     from .data import preprocessing
 
+    raw, attrs_file = args.raw, None
+    if args.format != "tsv":
+        import tempfile
+
+        from .data import amazon
+
+        out = os.path.join(tempfile.mkdtemp(prefix="recboard_make_"),
+                           "interactions.tsv")
+        if args.format == "amazon2023":
+            raw = amazon.extract_from_amazon2023(
+                args.raw, out, meta_file=args.meta_file,
+                min_rating=args.min_rating,
+            )
+            if args.meta_file:
+                attrs_file = raw + ".item.tsv"
+        else:
+            raw = amazon.extract_from_amazon2014(args.raw, out)
+    elif args.meta_file:
+        ap.error("--meta-file requires --format amazon2023")
     path = preprocessing.make_from_tsv(
-        args.raw,
+        raw,
         args.root,
         args.name,
+        item_attrs_file=attrs_file,
         kcore4user=args.kcore4user,
         kcore4item=args.kcore4item,
         star4pos=args.star4pos,

@@ -215,10 +215,19 @@ def make_from_tsv(
     raw_file: str,
     dest_root: str,
     name: str,
+    item_attrs_file: Optional[str] = None,
     **kwargs,
 ) -> str:
     """Build from a raw TSV with columns user, item[, rating[,
-    timestamp]]; user/item may be arbitrary strings (Amazon asins)."""
+    timestamp]]; user/item may be arbitrary strings (Amazon asins).
+
+    ``item_attrs_file``: optional side TSV whose first column is the
+    RAW item id and whose remaining header columns are attribute names
+    (the ``<out>.item.tsv`` that ``data.amazon.extract_from_amazon2023``
+    emits: ITEM/TITLE/CATEGORIES/BRAND) — merged into the processed
+    ``item.txt`` so the semantic encoders (sem/encode.py) can consume
+    the text, mirroring the reference's extract → k-core → split →
+    encode flow (preprocess_amazon2023_context.ipynb)."""
     users_raw, items_raw, ratings_l, ts_l = [], [], [], []
     with open(raw_file) as fh:
         fh.readline()  # header
@@ -233,10 +242,28 @@ def make_from_tsv(
             if len(parts) > 3:
                 ts_l.append(int(float(parts[3])))
     users, _ = reindex(np.asarray(users_raw))
-    items, _ = reindex(np.asarray(items_raw))
+    items, old_items = reindex(np.asarray(items_raw))
     ratings = np.asarray(ratings_l, np.float32) if ratings_l else None
     ts = np.asarray(ts_l, np.int64) if ts_l else None
+    item_attrs = None
+    if item_attrs_file is not None:
+        by_raw: Dict[str, Dict[str, str]] = {}
+        with open(item_attrs_file) as fh:
+            header = fh.readline().rstrip("\n").split("\t")
+            attr_names = header[1:]
+            for line in fh:
+                parts = line.rstrip("\n").split("\t")
+                if not parts or not parts[0]:
+                    continue
+                by_raw[parts[0]] = dict(zip(attr_names, parts[1:]))
+        # key by THIS function's dense id — make_dataset re-keys again
+        # after k-core via its own reindex's old ids
+        item_attrs = {
+            int(dense): by_raw[str(raw)]
+            for dense, raw in enumerate(old_items)
+            if str(raw) in by_raw
+        }
     return make_dataset(
         dest_root, name, users.astype(np.int64), items.astype(np.int64),
-        ratings, ts, **kwargs,
+        ratings, ts, item_attrs=item_attrs, **kwargs,
     )

@@ -70,7 +70,10 @@ def rank_metrics(
     valid_rows: (B,) 0/1 float for padded eval rows.
     """
     ks = sorted({k for _, k in wanted if k > 0}) or [1]
-    kmax = ks[-1]
+    # catalogs smaller than the largest cutoff (tiny fixtures, filtered
+    # pools): ranks past the catalog cannot hold a hit, so METRIC@k
+    # degrades to METRIC@N exactly — clamp rather than error
+    kmax = min(ks[-1], scores.shape[-1])
     _, topk = jax.lax.top_k(scores, kmax)  # (B, Kmax)
     rel = (topk[:, :, None] == target_ids[:, None, :]).any(axis=-1)  # (B, Kmax)
     rel = rel.astype(jnp.float32)

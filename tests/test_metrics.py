@@ -61,3 +61,18 @@ def test_auc_and_logloss():
     assert M.auc(np.array([1, 0]), np.array([0.5, 0.5])) == pytest.approx(0.5)
     ll = M.log_loss(np.array([1.0]), np.array([0.5]))
     assert ll == pytest.approx(np.log(2))
+
+
+def test_rank_metrics_k_exceeds_catalog():
+    # METRIC@k with k > N degrades to METRIC@N exactly (tiny fixtures /
+    # filtered pools must not crash top_k) — metrics.py kmax clamp
+    scores = jnp.asarray(
+        [[0.1, 0.2, 0.9, 0.0, 0.3], [0.5, 0.9, 0.7, 0.1, 0.0]]
+    )
+    targets = jnp.asarray([[3], [3]])  # row0 rank 4th, row1 rank 4th
+    big = M.rank_metrics(scores, targets, [("HITRATE", 20), ("NDCG", 20)],
+                         jnp.ones(2))
+    ref = M.rank_metrics(scores, targets, [("HITRATE", 5), ("NDCG", 5)],
+                         jnp.ones(2))
+    assert float(big["HITRATE@20"]) == float(ref["HITRATE@5"]) == 2.0
+    assert float(big["NDCG@20"]) == pytest.approx(float(ref["NDCG@5"]))

@@ -234,6 +234,57 @@ def bench_tiger(ds, steps):
     return ms, loss, B
 
 
+def bench_tiger_serve(ds, steps):
+    """Serving latency of the jitted trie-constrained beam search
+    (recommend_from_full: encode → beam decode → full-catalog score
+    scatter; reference TIGER/train_t5.py:187-236) at num_beams=10.
+    Returns ms per batch and the query batch size — the zoo dict
+    reports queries/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from recboard_tpu.data.tags import ID, ITEM
+    from recboard_tpu.models.zoo import REGISTRY
+    from recboard_tpu.sem.converter import SemIDConverter
+
+    Item = ds.fields[ITEM, ID]
+    codes = np.random.default_rng(0).integers(0, 256, size=(Item.count, 3))
+    conv = SemIDConverter.from_codes(codes)
+    B = 256
+    model = REGISTRY["TIGER"](ds, converter=conv, maxlen=MAXLEN, num_beams=10)
+    rng = np.random.default_rng(0)
+    batch = {
+        model.ISeq: jnp.asarray(
+            rng.integers(0, Item.count, (B, MAXLEN)), jnp.int32
+        ),
+        model.IPos: jnp.asarray(rng.integers(0, Item.count, (B, 1)), jnp.int32),
+    }
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch,
+    )["params"]
+
+    def serve(_, x):
+        scores = model.apply(
+            {"params": params}, {model.ISeq: x}, method="recommend_from_full"
+        )
+        return None, scores[:, 0].sum()
+
+    @jax.jit
+    def run_chunk(x):
+        _, outs = jax.lax.scan(serve, None, x)
+        return outs.sum()
+
+    xs = jnp.broadcast_to(batch[model.ISeq], (steps, B, MAXLEN))
+    run_chunk(xs).block_until_ready()
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_chunk(xs).block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return best, 0.0, B  # seconds/batch, like _measure
+
+
 def bench_etegrec(ds, steps):
     """Joint generative model at the reference Beauty config
     (ETEGRec/configs/etegrec/Amazon2014Beauty_550_LOU.yaml: 3x256
@@ -277,6 +328,7 @@ BENCHES = {
     "hstu": bench_hstu,
     "lightgcn": bench_lightgcn,
     "tiger": bench_tiger,
+    "tiger_serve": bench_tiger_serve,
     "bsarec": bench_bsarec,
     "bert4rec": bench_bert4rec,
     "etegrec": bench_etegrec,
