@@ -1,0 +1,175 @@
+"""Oracle-SID control for the generative quality gap (r2 verdict).
+
+On reference Beauty, TIGER ≈ SASRec; on the synthetic store TIGER sits
+~3.5× below SASRec. Hypothesis: the synthetic SVD/hash features carry
+no semantic signal beyond co-occurrence, so ANY learned tokenizer is
+feature-bottlenecked — not a bug in the T5/beam stack. This tool
+builds the best codes ANY tokenizer could produce on this data — codes
+derived directly from the generator's PLANTED structure (the item
+group, then a free disambiguator) — and trains the identical stage-B
+on them. The resulting number is the tokenizer-independent ceiling of
+the SID bottleneck on this dataset; docs/PARITY.md records it.
+
+    python tools/oracle_sid.py [--dataset SynBeauty_000_LOU] [--seeds 1]
+        [--epochs 100] [--embedding-dim 32] [--no-run]
+
+Reference contract being probed:
+/root/reference/benchmark/Amazon2014Beauty_550_LOU/TIGER.json (TIGER ≈
+SASRec on real data); generator structure: data/synthetic.py:25-72.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# SynBeauty_000_LOU build parameters (seed_sweep.py main: seed=7 and the
+# sweep's CLI defaults; meta.json's build_command records them)
+SYN_BUILDS = {
+    "SynBeauty_000_LOU": dict(num_users=800, num_items=300, avg_len=14.0,
+                              seed=7, markov_strength=0.45,
+                              group_strength=0.45, num_groups=6),
+    "SynYelp_000_ROU": dict(num_users=800, num_items=300, avg_len=14.0,
+                            seed=7, markov_strength=0.1,
+                            group_strength=0.75, num_groups=6),
+}
+
+
+def planted_item_groups(dataset: str, root: str) -> np.ndarray:
+    """(num_processed_items,) planted group id per PROCESSED item id.
+
+    Replays the deterministic generator + the exact preprocessing
+    (k-core → reindex → user/time sort) and verifies the replay against
+    the processed TSVs before trusting the id mapping.
+    """
+    from recboard_tpu.data import synthetic
+    from recboard_tpu.data.preprocessing import kcore_filter, reindex
+
+    build = SYN_BUILDS[dataset]
+    users, items, ts = synthetic.generate_interactions(
+        num_users=build["num_users"], num_items=build["num_items"],
+        avg_len=build["avg_len"], seed=build["seed"],
+        markov_strength=build["markov_strength"],
+        group_strength=build["group_strength"],
+        num_groups=build["num_groups"],
+    )
+    # the generator's per-item group assignment (same rng consumption
+    # order as generate_interactions: pop → successor → item_group)
+    rng = np.random.default_rng(build["seed"])
+    _ = 1.0 / np.arange(1, build["num_items"] + 1) ** 0.8
+    _ = rng.permutation(build["num_items"])  # successor
+    item_group_raw = rng.integers(0, build["num_groups"],
+                                  size=build["num_items"])
+
+    extra = {"ts": ts}
+    users, items, extra = kcore_filter(users, items, 3, 1, extra)
+    items_new, old_items = reindex(items)
+
+    # verify the replay: the processed dataset's (user, item) rows must
+    # match what this replay produces after the same reindex+sort
+    users_new, _ = reindex(users)
+    order = np.lexsort((extra["ts"], users_new))
+    got = set(zip(users_new[order].tolist(), items_new[order].tolist()))
+    proc = os.path.join(root, "Processed", dataset)
+    want = set()
+    for split in ("train", "valid", "test"):
+        with open(os.path.join(proc, f"{split}.txt")) as fh:
+            fh.readline()
+            for line in fh:
+                parts = line.split("\t")
+                want.add((int(parts[0]), int(parts[1])))
+    if got != want:
+        raise RuntimeError(
+            f"replayed generator does not reproduce {dataset}: "
+            f"{len(got ^ want)} mismatched (user,item) pairs — build "
+            "params drifted; update SYN_BUILDS"
+        )
+    return item_group_raw[old_items]
+
+
+def oracle_codes(groups: np.ndarray) -> np.ndarray:
+    """(N, 2) codes: level-0 = planted group (the learnable semantic
+    signal, perfectly encoded), level-1 = rank within the group (a
+    collision-free disambiguator — itemhood itself, which every unique
+    SID scheme must carry)."""
+    N = len(groups)
+    codes = np.zeros((N, 2), np.int64)
+    codes[:, 0] = groups
+    for g in np.unique(groups):
+        idx = np.flatnonzero(groups == g)
+        codes[idx, 1] = np.arange(len(idx))
+    return codes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/seed_sweep/data")
+    ap.add_argument("--dataset", default="SynBeauty_000_LOU")
+    ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--lr", type=float, default=0.001)
+    ap.add_argument("--embedding-dim", type=int, default=32)
+    ap.add_argument("--num-layers", type=int, default=1)
+    ap.add_argument("--no-run", action="store_true",
+                    help="only write the oracle vocab")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from recboard_tpu.sem.converter import SemIDConverter
+
+    groups = planted_item_groups(args.dataset, args.root)
+    codes = oracle_codes(groups)
+    proc = os.path.join(args.root, "Processed", args.dataset)
+    vocab_path = os.path.join(proc, "oracle_sid_vocab.json")
+    SemIDConverter.from_codes(codes).save(vocab_path)
+    print(f"[oracle] wrote {vocab_path}: {len(codes)} items, "
+          f"{groups.max() + 1} groups, "
+          f"max within-group {int(codes[:, 1].max()) + 1}", flush=True)
+    if args.no_run:
+        return
+
+    import io
+    import contextlib
+    import runpy
+
+    results = []
+    for seed in range(args.seeds):
+        sys.argv = [
+            "run", "--model", "TIGER", "--root", args.root,
+            "--dataset", args.dataset,
+            "--sid_vocab_file", "oracle_sid_vocab.json",
+            "--epochs", str(args.epochs), "--lr", str(args.lr),
+            "--batch-size", "128", "--eval-freq", "3",
+            "--maxlen", "20", "--num_beams", "10",
+            "--embedding_dim", str(args.embedding_dim),
+            "--num_heads", "2",
+            "--ffn_dim", str(args.embedding_dim * 2),
+            "--num_encoder_layers", str(args.num_layers),
+            "--num_decoder_layers", str(args.num_layers),
+            "--seed", str(seed), "--description", "TIGER-oracle",
+            "--record-benchmark", "false",
+            "--log-path", "/tmp/oracle_sid/logs",
+            "--checkpoint-path", f"/tmp/oracle_sid/infos/s{seed}",
+        ]
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
+            runpy.run_module("recboard_tpu.run", run_name="__main__")
+        line = [ln for ln in buf.getvalue().splitlines() if "best:" in ln]
+        best = eval(line[-1].split("best:", 1)[1]) if line else {}
+        results.append(best)
+        print(f"[oracle] seed {seed}: {best}", flush=True)
+    print(json.dumps({"oracle": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
