@@ -24,6 +24,7 @@ registration order.
 from __future__ import annotations
 
 import json
+import os
 import re
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
@@ -281,8 +282,12 @@ class SemIDConverter:
 
     # --------------------------------------------------------------- io
     def save(self, file_: str) -> None:
-        with open(file_, "w", encoding="utf-8") as fh:
+        # atomic rename: concurrent sweep processes may race to produce
+        # the same shared vocab; a reader must never see a partial json
+        tmp = f"{file_}.tmp{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as fh:
             json.dump({k: list(v) for k, v in self._item_to_sids.items()}, fh)
+        os.replace(tmp, file_)
 
     @classmethod
     def load(cls, file_: str) -> "SemIDConverter":

@@ -131,7 +131,10 @@ def export_pickle(data: Any, file_: str, atomic: bool = True) -> None:
     """Pickle with an atomic rename — a preempted write never leaves a
     truncated checkpoint behind (SURVEY.md §5.3)."""
     mkdirs(os.path.dirname(os.path.abspath(file_)))
-    target = file_ + ".tmp" if atomic else file_
+    # pid-suffixed tmp: two processes racing to produce the same file
+    # (parallel sweeps preparing shared side inputs) each write their
+    # own tmp and the replace stays atomic for both
+    target = f"{file_}.tmp{os.getpid()}" if atomic else file_
     with open(target, "wb") as fh:
         pickle.dump(data, fh, pickle.HIGHEST_PROTOCOL)
     if atomic:
