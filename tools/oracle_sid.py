@@ -118,11 +118,15 @@ def main():
     ap.add_argument("--num-layers", type=int, default=1)
     ap.add_argument("--no-run", action="store_true",
                     help="only write the oracle vocab")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run stage-B on the TPU (serialize with other "
+                         "TPU jobs — the axon tunnel is single-client)")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from recboard_tpu.sem.converter import SemIDConverter

@@ -417,6 +417,11 @@ def main():
     ap.add_argument("--no-record", action="store_true",
                     help="skip the benchmark store/leaderboard writes "
                          "(pure A/B comparisons)")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the real TPU chip instead of pinning CPU. "
+                         "The axon tunnel is SINGLE-CLIENT: never run two "
+                         "--tpu processes (or any other TPU job) at once — "
+                         "serialize them through one queue")
     args = ap.parse_args()
     if args.seed_start >= args.seeds:
         # --seeds is the EXCLUSIVE END seed once --seed-start is set
@@ -428,11 +433,15 @@ def main():
 
     import jax
 
-    # ALWAYS CPU: host generator pipes dispatch per batch, which over the
+    # DEFAULT CPU: host generator pipes dispatch per batch, which over the
     # axon TPU tunnel measures the tunnel; and the tunnel is effectively
     # single-client — a second TPU process gets spurious UNIMPLEMENTED
-    # errors (observed when this sweep ran concurrently with tpu_bench)
-    jax.config.update("jax_platforms", "cpu")
+    # errors (observed when this sweep ran concurrently with tpu_bench).
+    # --tpu opts in for the slow generative tail (T5 epochs are ~8x
+    # faster on the chip than on a sweep-loaded host; r2 ran the TIGER
+    # direct rows this way), still one TPU process at a time.
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from recboard_tpu.data import synthetic
