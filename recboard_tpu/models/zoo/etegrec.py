@@ -30,7 +30,7 @@ import numpy as np
 from ... import criterions
 from ...launcher import Coach
 from ...sem.quantizers import ResidualQuantizer
-from ...sem.seq2seq import Seq2SeqTransformer, beam_search
+from ...sem.seq2seq import Seq2SeqTransformer, beam_search, beam_search_cached
 from ..base import Batch, SeqRecArch
 from ..modules import xavier_normal
 from . import register
@@ -383,23 +383,30 @@ class ETEGRec(SeqRecArch):
         ).reshape(B, -1)
         enc_out, enc_mask = self.seq2seq.encode(input_tokens)
 
-        def apply_decode(dec_ids, enc_o, enc_m):
-            h = self._decode_hidden(dec_ids, enc_o, enc_m, True)
-            return self._token_logits(h)
-
         allowed, next_node, node_item = trie
-        items, scores = beam_search(
-            apply_decode,
-            enc_out,
-            enc_mask,
-            jnp.asarray(allowed),
-            jnp.asarray(next_node),
-            jnp.asarray(node_item),
-            num_beams=self.num_beams,
-            max_steps=self.code_length,
-            start_id=0,
-            pad_id=0,
-        )
+        kw = dict(num_beams=self.num_beams, max_steps=self.code_length,
+                  start_id=0, pad_id=0)
+        if not self.remat:
+            # cached serving path (see TIGER.recommend_from_full): the
+            # cross-attention memory K/V are projected once per query
+            cross_kv = self.seq2seq.precompute_cross_kv(enc_out)
+            items, scores = beam_search_cached(
+                lambda dec: self._token_logits(self.seq2seq.decode_beams(
+                    dec, cross_kv, enc_mask, return_hidden=True)),
+                B, jnp.asarray(allowed), jnp.asarray(next_node),
+                jnp.asarray(node_item), **kw,
+            )
+        else:
+            items, scores = beam_search(
+                lambda d, eo, em: self._token_logits(
+                    self._decode_hidden(d, eo, em, True)),
+                enc_out,
+                enc_mask,
+                jnp.asarray(allowed),
+                jnp.asarray(next_node),
+                jnp.asarray(node_item),
+                **kw,
+            )
         full = jnp.full((B, self.Item.count), -1e23)
         safe = jnp.where(items >= 0, items, self.Item.count)
         padded = jnp.concatenate(

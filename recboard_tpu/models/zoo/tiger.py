@@ -37,7 +37,7 @@ from ...sem.quantizers import (
     ResidualQuantizer,
     ResidualSimVQQuantizer,
 )
-from ...sem.seq2seq import Seq2SeqTransformer, beam_search
+from ...sem.seq2seq import Seq2SeqTransformer, beam_search, beam_search_cached
 from ..base import Batch, RecSysArch, SeqRecArch
 from ..modules import xavier_normal
 from . import register
@@ -639,21 +639,33 @@ class TIGER(SeqRecArch):
         input_ids = self._input_tokens(data[self.ISeq])
         enc_out, enc_mask = self.seq2seq.encode(input_ids)
 
-        def apply_decode(dec_ids, enc_o, enc_m):
-            return self.seq2seq.decode(dec_ids, enc_o, enc_m)
-
-        items, scores = beam_search(
-            apply_decode,
-            enc_out,
-            enc_mask,
-            jnp.asarray(conv.allowed),
-            jnp.asarray(conv.next_node),
-            jnp.asarray(conv.node_item),
-            num_beams=self.num_beams,
-            max_steps=conv.max_num_sid_tokens + 2,
-            start_id=conv.start_id,
-            pad_id=conv.pad_id,
-        )
+        trie = (jnp.asarray(conv.allowed), jnp.asarray(conv.next_node),
+                jnp.asarray(conv.node_item))
+        if not self.remat:
+            # cached serving path: cross-attention memory K/V projected
+            # once per query instead of per beam × step × layer (the
+            # uncached beam loop profiled as 82% of serving time at the
+            # reference config — tools/tiger_ablate.py, docs/PERF.md)
+            cross_kv = self.seq2seq.precompute_cross_kv(enc_out)
+            items, scores = beam_search_cached(
+                lambda dec: self.seq2seq.decode_beams(dec, cross_kv, enc_mask),
+                input_ids.shape[0], *trie,
+                num_beams=self.num_beams,
+                max_steps=conv.max_num_sid_tokens + 2,
+                start_id=conv.start_id,
+                pad_id=conv.pad_id,
+            )
+        else:  # remat hides the block submodules; use the uncached loop
+            items, scores = beam_search(
+                lambda d, eo, em: self.seq2seq.decode(d, eo, em),
+                enc_out,
+                enc_mask,
+                *trie,
+                num_beams=self.num_beams,
+                max_steps=conv.max_num_sid_tokens + 2,
+                start_id=conv.start_id,
+                pad_id=conv.pad_id,
+            )
         B = items.shape[0]
         # scatter raised beam scores over uniform background noise
         # (TIGER/train_t5.py:214-236)

@@ -7,9 +7,14 @@ like T5: RMSNorm pre-normalization, bucketed relative position biases
 (bidirectional encoder / causal decoder), ReLU FFN, tied output head.
 
 Beam search runs fully under jit: SID sequences are ≤ L+2 tokens, so
-each step re-runs the decoder (no KV cache needed at these lengths) and
-the trie's dense `allowed`/`next_node` tables mask and advance beams —
-no host roundtrips (SURVEY.md §7 hard part #6).
+each step re-runs the tiny decoder self-attention (no incremental KV
+cache at these lengths), BUT the cross-attention memory K/V are
+projected ONCE per query (`precompute_cross_kv` + `decode_beams`) —
+the uncached loop re-projected a num_beams×-duplicated encoder state
+every step of every layer, which profiled as 82% of serving time at
+the reference Beauty config (tools/tiger_ablate.py). The trie's dense
+`allowed`/`next_node` tables mask and advance beams — no host
+roundtrips (SURVEY.md §7 hard part #6).
 """
 
 from __future__ import annotations
@@ -21,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Seq2SeqTransformer", "beam_search"]
+__all__ = ["Seq2SeqTransformer", "beam_search", "beam_search_cached"]
 
 NEG_INF = -1e9
 
@@ -84,7 +89,24 @@ class MultiHeadAttn(nn.Module):
     dropout: float = 0.1
     head_dim: Optional[int] = None  # T5 d_kv: decoupled from dim//H
 
-    @nn.compact
+    def setup(self):
+        H = self.num_heads
+        # T5 keeps d_kv fixed (64) regardless of num_heads; dim//H would
+        # give lane-hostile 21-wide heads at d_model=128, H=6
+        # (TIGER/train_t5.py:21, ETEGRec/train_etegrec.py:41)
+        hd = self.head_dim or self.dim // H
+        init = nn.initializers.normal(stddev=self.dim**-0.5)
+        # setup-based (not @nn.compact) so the serving path can run the
+        # projections independently (memory_kv/attend_cached below);
+        # attribute names keep the q/k/v/o param paths stable
+        self.q = nn.DenseGeneral((H, hd), use_bias=False, kernel_init=init)
+        self.k = nn.DenseGeneral((H, hd), use_bias=False, kernel_init=init)
+        self.v = nn.DenseGeneral((H, hd), use_bias=False, kernel_init=init)
+        self.o = nn.DenseGeneral(
+            self.dim, axis=(-2, -1), use_bias=False, kernel_init=init
+        )
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(self, q_in, kv_in, mask, bias=None, deterministic=True,
                  causal=False, key_padding=None):
         """``mask`` is the legacy dense boolean (True = keep) used by the
@@ -99,14 +121,10 @@ class MultiHeadAttn(nn.Module):
         import os
 
         H = self.num_heads
-        # T5 keeps d_kv fixed (64) regardless of num_heads; dim//H would
-        # give lane-hostile 21-wide heads at d_model=128, H=6
-        # (TIGER/train_t5.py:21, ETEGRec/train_etegrec.py:41)
         hd = self.head_dim or self.dim // H
-        init = nn.initializers.normal(stddev=self.dim**-0.5)
-        q = nn.DenseGeneral((H, hd), use_bias=False, kernel_init=init, name="q")(q_in)
-        k = nn.DenseGeneral((H, hd), use_bias=False, kernel_init=init, name="k")(kv_in)
-        v = nn.DenseGeneral((H, hd), use_bias=False, kernel_init=init, name="v")(kv_in)
+        q = self.q(q_in)
+        k = self.k(kv_in)
+        v = self.v(kv_in)
 
         structured = mask is None  # callers pass causal/key_padding instead
         interpret = bool(os.environ.get("RECBOARD_FUSED_ATTN_INTERPRET"))
@@ -136,10 +154,7 @@ class MultiHeadAttn(nn.Module):
                 1.0,  # T5 does not scale by sqrt(hd)
                 self.dropout, rng, interpret=interpret,
             ).reshape(B, L, H, hd)
-            return nn.DenseGeneral(
-                self.dim, axis=(-2, -1), use_bias=False, kernel_init=init,
-                name="o",
-            )(out)
+            return self.o(out)
 
         if structured:
             # build the dense mask the jnp path expects
@@ -158,11 +173,35 @@ class MultiHeadAttn(nn.Module):
         if mask is not None:
             scores = jnp.where(mask, scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
-        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        probs = self.drop(probs, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        return nn.DenseGeneral(
-            self.dim, axis=(-2, -1), use_bias=False, kernel_init=init, name="o"
-        )(out)
+        return self.o(out)
+
+    # ------------------------------------------------- serving (cached)
+    def memory_kv(self, kv_in):
+        """Project the attention memory ONCE per query (no beam
+        broadcast) — the beam loop re-ran k/v over a K×-duplicated
+        encoder state at every decode step (num_beams × max_steps ×
+        num_layers redundant MXU work, the dominant serving cost)."""
+        return self.k(kv_in), self.v(kv_in)
+
+    def attend_cached(self, q_in, kmem, vmem, key_padding=None):
+        """Cross-attention against precomputed memory K/V, with the
+        beam dimension folded into the query axis: q_in (B*F, T, D)
+        attends kmem/vmem (B, S, H, hd) → (B*F, T, dim). Deterministic
+        (serving only). Identical arithmetic to __call__'s jnp path."""
+        B, S = kmem.shape[0], kmem.shape[1]
+        BF, T = q_in.shape[0], q_in.shape[1]
+        F = BF // B
+        q = self.q(q_in).reshape(B, F * T, kmem.shape[2], kmem.shape[3])
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, kmem, preferred_element_type=jnp.float32
+        )
+        if key_padding is not None:
+            scores = jnp.where(key_padding[:, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vmem)
+        return self.o(out.reshape(BF, T, out.shape[2], out.shape[3]))
 
 
 class FFN(nn.Module):
@@ -207,26 +246,45 @@ class DecoderBlock(nn.Module):
     dropout: float = 0.1
     head_dim: Optional[int] = None
 
-    @nn.compact
-    def __call__(self, x, enc, enc_valid, bias, deterministic=True):
-        n = RMSNorm()(x)  # ONE pre-norm shared by q and kv, as in T5
-        h = MultiHeadAttn(self.dim, self.num_heads, self.dropout, self.head_dim,
-                          name="self_attn")(
-            n, n, None, bias, deterministic, causal=True
+    def setup(self):
+        # setup-based (see MultiHeadAttn) with attribute names chosen to
+        # match the previous @nn.compact auto-naming exactly, so
+        # checkpoints and the torch-transplant crosschecks stay valid
+        self.RMSNorm_0 = RMSNorm()
+        self.self_attn = MultiHeadAttn(
+            self.dim, self.num_heads, self.dropout, self.head_dim
         )
-        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        self.RMSNorm_1 = RMSNorm()
+        self.cross_attn = MultiHeadAttn(
+            self.dim, self.num_heads, self.dropout, self.head_dim
+        )
+        self.RMSNorm_2 = RMSNorm()
+        self.FFN_0 = FFN(self.dim, self.ffn_dim, self.dropout)
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(self, x, enc, enc_valid, bias, deterministic=True):
+        n = self.RMSNorm_0(x)  # ONE pre-norm shared by q and kv, as in T5
+        h = self.self_attn(n, n, None, bias, deterministic, causal=True)
+        x = x + self.drop(h, deterministic=deterministic)
         # T5 cross-attention normalizes the decoder stream only; the
         # encoder output arrives already final-layer-normed
-        h = MultiHeadAttn(self.dim, self.num_heads, self.dropout, self.head_dim,
-                          name="cross_attn")(
-            RMSNorm()(x), enc, None, None, deterministic,
+        h = self.cross_attn(
+            self.RMSNorm_1(x), enc, None, None, deterministic,
             causal=False, key_padding=enc_valid,
         )
-        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = FFN(self.dim, self.ffn_dim, self.dropout)(
-            RMSNorm()(x), deterministic=deterministic
+        x = x + self.drop(h, deterministic=deterministic)
+        h = self.FFN_0(self.RMSNorm_2(x), deterministic=deterministic)
+        return x + self.drop(h, deterministic=deterministic)
+
+    def step_beams(self, x, kmem, vmem, enc_valid, bias):
+        """Serving step on beam-folded activations: x (B*K, T, D) with
+        cross-attention against the per-query cached memory K/V."""
+        n = self.RMSNorm_0(x)
+        x = x + self.self_attn(n, n, None, bias, True, causal=True)
+        x = x + self.cross_attn.attend_cached(
+            self.RMSNorm_1(x), kmem, vmem, enc_valid
         )
-        return x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return x + self.FFN_0(self.RMSNorm_2(x), deterministic=True)
 
 
 class Seq2SeqTransformer(nn.Module):
@@ -314,6 +372,37 @@ class Seq2SeqTransformer(nn.Module):
         enc_out, enc_mask = self.encode(input_ids, deterministic)
         return self.decode(decoder_ids, enc_out, enc_mask, deterministic)
 
+    # ---------------------------------------------- serving (cached kv)
+    def precompute_cross_kv(self, enc_out):
+        """Per-decoder-layer cross-attention (K, V) of the encoder
+        memory, computed ONCE per query — see MultiHeadAttn.memory_kv.
+        Unavailable under remat (the wrapped blocks hide their
+        submodules); serving callers fall back to the uncached path."""
+        if self.remat:
+            raise ValueError("precompute_cross_kv: not under remat")
+        return [blk.cross_attn.memory_kv(enc_out)
+                for blk in self.decoder_blocks]
+
+    def decode_beams(self, decoder_ids, cross_kv, enc_mask,
+                     return_hidden: bool = False):
+        """Deterministic decode on beam-folded ids (B*K, T) against the
+        cached memory; same arithmetic as decode() minus the per-step
+        re-projection of the K×-duplicated encoder state.
+        ``return_hidden`` skips the tied head (joint models — ETEGRec —
+        project through their own token head)."""
+        T = decoder_ids.shape[1]
+        x = self.shared(decoder_ids)
+        bias = self.dec_bias(T, T)
+        for blk, (kmem, vmem) in zip(self.decoder_blocks, cross_kv):
+            x = blk.step_beams(x, kmem, vmem, enc_mask, bias)
+        x = self.dec_final_ln(x)
+        if return_hidden:
+            return x
+        return jnp.einsum(
+            "bld,vd->blv", x * (self.dim**-0.5), self.shared.embedding,
+            preferred_element_type=jnp.float32,
+        )
+
 
 def beam_search(
     apply_decode,
@@ -332,12 +421,33 @@ def beam_search(
     apply_decode(decoder_ids (B*, T)) → logits (B*, T, V) given the
     pre-broadcast encoder state.
     """
-    B = enc_out.shape[0]
+    enc_out_b = jnp.repeat(enc_out, num_beams, axis=0)  # (B*K, Le, D)
+    enc_mask_b = jnp.repeat(enc_mask, num_beams, axis=0)
+    return beam_search_cached(
+        lambda dec_in: apply_decode(dec_in, enc_out_b, enc_mask_b),
+        enc_out.shape[0], allowed, next_node, node_item,
+        num_beams, max_steps, start_id, pad_id,
+    )
+
+
+def beam_search_cached(
+    decode_fn,
+    batch_size: int,
+    allowed: jnp.ndarray,  # (num_nodes, V) bool
+    next_node: jnp.ndarray,  # (num_nodes, V) int32
+    node_item: jnp.ndarray,  # (num_nodes,) int32
+    num_beams: int,
+    max_steps: int,
+    start_id: int,
+    pad_id: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Beam-search core over an abstract ``decode_fn(dec_in (B*K, T)) →
+    logits (B*K, T, V)`` — the memory representation (broadcast encoder
+    state, or the cached per-layer cross K/V from
+    ``Seq2SeqTransformer.decode_beams``) is closed over by the caller."""
+    B = batch_size
     V = allowed.shape[1]
     K = num_beams
-
-    enc_out_b = jnp.repeat(enc_out, K, axis=0)  # (B*K, Le, D)
-    enc_mask_b = jnp.repeat(enc_mask, K, axis=0)
 
     tokens = jnp.full((B, K, max_steps + 1), pad_id, dtype=jnp.int32)
     # decoder starts from PAD (T5 decoder_start_token) — position 0
@@ -348,7 +458,7 @@ def beam_search(
     def step(t, state):
         tokens, scores, nodes = state
         dec_in = tokens.reshape(B * K, max_steps + 1)
-        logits = apply_decode(dec_in, enc_out_b, enc_mask_b)  # (B*K, T, V)
+        logits = decode_fn(dec_in)  # (B*K, T, V)
         logits = logits[:, t, :].reshape(B, K, V)
         logp = jax.nn.log_softmax(logits, axis=-1)
         ok = allowed[nodes]  # (B, K, V)
