@@ -41,12 +41,14 @@ SYN_BUILDS = {
 }
 
 
-def planted_item_groups(dataset: str, root: str) -> np.ndarray:
-    """(num_processed_items,) planted group id per PROCESSED item id.
+def planted_structure(dataset: str, root: str):
+    """Per-PROCESSED-item planted (group, successor) of the generator.
 
     Replays the deterministic generator + the exact preprocessing
     (k-core → reindex → user/time sort) and verifies the replay against
-    the processed TSVs before trusting the id mapping.
+    the processed TSVs before trusting the id mapping. Successors are
+    remapped into processed-id space (-1 where the successor was
+    k-core-filtered away).
     """
     from recboard_tpu.data import synthetic
     from recboard_tpu.data.preprocessing import kcore_filter, reindex
@@ -59,11 +61,11 @@ def planted_item_groups(dataset: str, root: str) -> np.ndarray:
         group_strength=build["group_strength"],
         num_groups=build["num_groups"],
     )
-    # the generator's per-item group assignment (same rng consumption
-    # order as generate_interactions: pop → successor → item_group)
+    # the generator's planted tables (same rng consumption order as
+    # generate_interactions: pop → successor → item_group)
     rng = np.random.default_rng(build["seed"])
     _ = 1.0 / np.arange(1, build["num_items"] + 1) ** 0.8
-    _ = rng.permutation(build["num_items"])  # successor
+    successor_raw = rng.permutation(build["num_items"])
     item_group_raw = rng.integers(0, build["num_groups"],
                                   size=build["num_items"])
 
@@ -90,7 +92,13 @@ def planted_item_groups(dataset: str, root: str) -> np.ndarray:
             f"{len(got ^ want)} mismatched (user,item) pairs — build "
             "params drifted; update SYN_BUILDS"
         )
-    return item_group_raw[old_items]
+    # successor in processed-id space
+    raw_to_new = {int(r): n for n, r in enumerate(old_items)}
+    succ = np.array(
+        [raw_to_new.get(int(successor_raw[r]), -1) for r in old_items],
+        np.int64,
+    )
+    return item_group_raw[old_items], succ
 
 
 def oracle_codes(groups: np.ndarray) -> np.ndarray:
@@ -107,6 +115,32 @@ def oracle_codes(groups: np.ndarray) -> np.ndarray:
     return codes
 
 
+def chain_codes(succ: np.ndarray) -> np.ndarray:
+    """(N, 2) codes aligned with the MARKOV signal: the successor
+    permutation decomposes into cycles; level-0 = cycle id, level-1 =
+    position along the cycle, so the planted transition becomes the
+    code-level rule (same level-0, level-1 -> its cyclic successor).
+    Bounds what a tokenizer could do if it could see the transition
+    structure (no real tokenizer can — it only sees item FEATURES)."""
+    N = len(succ)
+    chain = np.full(N, -1, np.int64)
+    pos = np.zeros(N, np.int64)
+    cid = 0
+    for start in range(N):
+        if chain[start] >= 0:
+            continue
+        # walk the cycle/chain containing `start` (succ may have -1
+        # holes where the successor was filtered out)
+        cur, p = start, 0
+        while cur >= 0 and chain[cur] < 0:
+            chain[cur] = cid
+            pos[cur] = p
+            cur = int(succ[cur])
+            p += 1
+        cid += 1
+    return np.stack([chain, pos], axis=1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/seed_sweep/data")
@@ -116,6 +150,10 @@ def main():
     ap.add_argument("--lr", type=float, default=0.001)
     ap.add_argument("--embedding-dim", type=int, default=32)
     ap.add_argument("--num-layers", type=int, default=1)
+    ap.add_argument("--scheme", default="group", choices=("group", "chain"),
+                    help="group: planted-group prefix (the semantic "
+                         "ceiling); chain: successor-cycle codes (the "
+                         "markov-transition ceiling)")
     ap.add_argument("--no-run", action="store_true",
                     help="only write the oracle vocab")
     ap.add_argument("--tpu", action="store_true",
@@ -131,14 +169,15 @@ def main():
 
     from recboard_tpu.sem.converter import SemIDConverter
 
-    groups = planted_item_groups(args.dataset, args.root)
-    codes = oracle_codes(groups)
+    groups, succ = planted_structure(args.dataset, args.root)
+    codes = (oracle_codes(groups) if args.scheme == "group"
+             else chain_codes(succ))
     proc = os.path.join(args.root, "Processed", args.dataset)
-    vocab_path = os.path.join(proc, "oracle_sid_vocab.json")
+    vocab_path = os.path.join(proc, f"oracle_{args.scheme}_sid_vocab.json")
     SemIDConverter.from_codes(codes).save(vocab_path)
-    print(f"[oracle] wrote {vocab_path}: {len(codes)} items, "
-          f"{groups.max() + 1} groups, "
-          f"max within-group {int(codes[:, 1].max()) + 1}", flush=True)
+    print(f"[oracle:{args.scheme}] wrote {vocab_path}: {len(codes)} items, "
+          f"{int(codes[:, 0].max()) + 1} level-0 codes, "
+          f"max level-1 {int(codes[:, 1].max()) + 1}", flush=True)
     if args.no_run:
         return
 
@@ -151,7 +190,7 @@ def main():
         sys.argv = [
             "run", "--model", "TIGER", "--root", args.root,
             "--dataset", args.dataset,
-            "--sid_vocab_file", "oracle_sid_vocab.json",
+            "--sid_vocab_file", f"oracle_{args.scheme}_sid_vocab.json",
             "--epochs", str(args.epochs), "--lr", str(args.lr),
             "--batch-size", "128", "--eval-freq", "3",
             "--maxlen", "20", "--num_beams", "10",
@@ -160,10 +199,11 @@ def main():
             "--ffn_dim", str(args.embedding_dim * 2),
             "--num_encoder_layers", str(args.num_layers),
             "--num_decoder_layers", str(args.num_layers),
-            "--seed", str(seed), "--description", "TIGER-oracle",
+            "--seed", str(seed),
+            "--description", f"TIGER-oracle-{args.scheme}",
             "--record-benchmark", "false",
-            "--log-path", "/tmp/oracle_sid/logs",
-            "--checkpoint-path", f"/tmp/oracle_sid/infos/s{seed}",
+            "--log-path", f"/tmp/oracle_sid/logs_{args.scheme}",
+            "--checkpoint-path", f"/tmp/oracle_sid/infos_{args.scheme}/s{seed}",
         ]
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
@@ -171,8 +211,8 @@ def main():
         line = [ln for ln in buf.getvalue().splitlines() if "best:" in ln]
         best = eval(line[-1].split("best:", 1)[1]) if line else {}
         results.append(best)
-        print(f"[oracle] seed {seed}: {best}", flush=True)
-    print(json.dumps({"oracle": results}), flush=True)
+        print(f"[oracle:{args.scheme}] seed {seed}: {best}", flush=True)
+    print(json.dumps({f"oracle_{args.scheme}": results}), flush=True)
 
 
 if __name__ == "__main__":
