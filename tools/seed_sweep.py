@@ -488,13 +488,46 @@ def main():
 
     import runpy
 
+    def recorded_seeds(model):
+        """Seeds already in the store for this (model, tags) entry —
+        re-running a wave or topping up must never duplicate a row."""
+        if args.no_record:
+            return set()
+        if model in PIPELINE_MODELS:
+            desc = "TIGER" if model.startswith("TIGER-") else model
+            tok = {"TIGER-RQVAE": "rqvae", "TIGER-GUMBEL": "gumbel",
+                   "TIGER-ROTATION": "rotation", "TIGER-SIMVQ": "simvq",
+                   "TIGER-PQKMEANS": "pqkmeans", "LETTER": "letter",
+                   "R3-VAE": "r3-vae"}[model]
+            tags = [FAMILY[desc], "32", tok]
+        elif model in CTR_MODELS:
+            desc, tags = model, [FAMILY.get(model, "Model")]
+        else:
+            desc = model
+            tags = ([FAMILY.get(model, "Model"), DIM_TAG.get(model, "64")]
+                    + [t for t in EXTRA_TAGS.get(model, "").split(",") if t])
+        dataset = args.ctr_dataset if model in CTR_MODELS else args.dataset
+        file_ = os.path.join(args.benchmark_root, dataset, f"{desc}.json")
+        if not os.path.isfile(file_):
+            return set()
+        entries = json.load(open(file_))
+        entry = next((e for e in entries if e.get("tags") == tags), None)
+        if entry is None:
+            return set()
+        return {r.get("params", {}).get("seed") for r in entry["runs"]}
+
     table = {}
     wanted = args.models.split(",")
     ctr_ready = None
     for model in wanted:
         metric = "AUC" if model in CTR_MODELS else "NDCG@10"
         vals = []
+        done = recorded_seeds(model)
         for seed in range(args.seed_start, args.seeds):
+            if seed in done:
+                print(f"{model} seed {seed}: SKIP (already in store)",
+                      flush=True)
+                continue
             if model in PIPELINE_MODELS:
                 try:
                     best = run_pipeline_model(model, args, seed)
