@@ -263,6 +263,15 @@ def bench_tiger_serve(ds, steps):
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         batch,
     )["params"]
+    if os.environ.get("TIGER_SERVE_DTYPE") == "bfloat16":
+        # serve-side mixed precision A/B: cast float params once (no
+        # gradient concerns at inference; ranking ties break the same
+        # way because top_k is stable on the f32 score scatter)
+        params = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            params,
+        )
 
     def serve(_, x):
         scores = model.apply(
