@@ -92,7 +92,17 @@ class RQVAE(RecSysArch):
                 np.linalg.norm(feats, axis=-1, keepdims=True), 1e-12
             )
         self._feats = jnp.asarray(feats)
-        dims = [feats.shape[1], *self.hidden_dims, self.codebook_dim]
+        # product quantization splits the latent into per-codebook blocks,
+        # so the encoder must emit num_codebooks*codebook_dim (reference
+        # TIGER/train_pqvae.py:77 `codebook_size = codebook_dim *
+        # num_codebooks`); every residual strategy quantizes the same
+        # codebook_dim-sized latent at each level instead
+        latent_dim = (
+            self.codebook_dim * self.num_codebooks
+            if self.quantization_strategy == "product"
+            else self.codebook_dim
+        )
+        dims = [feats.shape[1], *self.hidden_dims, latent_dim]
         self.enc_layers = [
             nn.Dense(d, use_bias=False, kernel_init=xavier_normal)
             for d in dims[1:]

@@ -149,6 +149,42 @@ def test_seq2seq_and_constrained_beam(tiny_dataset):
     assert pool.shape == (4, 5)
 
 
+def test_rqvae_product_strategy_fit_and_codes(tiny_dataset):
+    """PQ-VAE (quantization_strategy='product'): the encoder latent must
+    be num_codebooks*codebook_dim (reference TIGER/train_pqvae.py:77) —
+    a plain codebook_dim latent cannot be split into per-codebook blocks
+    (regression: the reshape inside ProductQuantizer raised at fit)."""
+    import jax
+
+    from recboard_tpu.models.zoo import RQVAE
+
+    I = tiny_dataset.fields["ITEM", "ID"].count
+    feats = np.random.default_rng(0).normal(size=(I, 16)).astype(np.float32)
+    model = RQVAE(
+        tiny_dataset, item_features=feats, hidden_dims=(32,), codebook_dim=8,
+        num_codebooks=2, num_codewords=8,
+        quantization_strategy="product", apply_kmeans_init=True,
+    )
+    batch = {model.Item: jnp.arange(16, dtype=jnp.int32)}
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, method="fit",
+    )
+    loss, logs = model.apply(
+        v, batch, method="fit", rngs={"dropout": jax.random.PRNGKey(2)}
+    )
+    assert np.isfinite(float(loss))
+    params = model.post_init_params(v["params"])  # product k-means init
+    codes = np.asarray(
+        model.apply({"params": params}, jnp.arange(I), method="codes_of")
+    )
+    assert codes.shape == (I, 2)
+    assert codes.min() >= 0 and codes.max() < 8
+    # each codebook quantizes its own latent block; after k-means init on
+    # 40+ items all 8 codewords of level 0 should be reachable
+    assert len(np.unique(codes[:, 0])) > 1
+
+
 def test_rqvae_trains_and_emits_vocab(tiny_dataset, tmp_path):
     import os
 

@@ -137,11 +137,14 @@ DIM_TAG = {"TIGER": "32", "ETEGRec": "32", "DIGER": "32", "E4SRec": "32"}
 # extra per-model tags (TIGER's direct rows use the k-means tokenizer)
 EXTRA_TAGS = {"TIGER": ",rqkmeans"}
 # two-stage generative pipeline; the TIGER-* variants each record a
-# TIGER tokenizer row (tags rqvae/gumbel/rotation/simvq/pqkmeans) next
-# to the direct rqkmeans rows — the reference's TIGER.json carries one
-# entry per interchangeable tokenizer (7 entries on Beauty)
-PIPELINE_MODELS = {"LETTER", "R3-VAE", "TIGER-RQVAE", "TIGER-GUMBEL",
-                   "TIGER-ROTATION", "TIGER-SIMVQ", "TIGER-PQKMEANS"}
+# TIGER tokenizer row (tags rqvae/gumbel/rotation/simvq/pqvae/pqkmeans)
+# next to the direct rqkmeans rows — the reference's TIGER.json carries
+# one entry per interchangeable tokenizer (7 entries on Beauty)
+TOK_TAG = {"TIGER-RQVAE": "rqvae", "TIGER-GUMBEL": "gumbel",
+           "TIGER-ROTATION": "rotation", "TIGER-SIMVQ": "simvq",
+           "TIGER-PQVAE": "pqvae", "TIGER-PQKMEANS": "pqkmeans",
+           "LETTER": "letter", "R3-VAE": "r3-vae"}
+PIPELINE_MODELS = set(TOK_TAG)
 
 FAMILY = {
     "MF-BPR": "General", "LightGCN": "Graph", "SASRec": "Sequential",
@@ -296,14 +299,15 @@ def run_pipeline_model(model, args, seed):
                         "--num_codewords", "16", "--num_codebooks", "2",
                         "--codebook_dim", "8", "--hidden_dims", "16,8",
                         "--apply_kmeans_init", "true"],
+        "TIGER-PQVAE": ["--model", "RQVAE", "--strategy", "product",
+                        "--num_codewords", "16", "--num_codebooks", "2",
+                        "--codebook_dim", "8", "--hidden_dims", "16,8",
+                        "--apply_kmeans_init", "true"],
         "TIGER-PQKMEANS": ["--kmeans", "product",
                            "--num_codewords", "16", "--num_codebooks", "2"],
     }[model]
     desc = "TIGER" if model.startswith("TIGER-") else model
-    tok_tag = {"TIGER-RQVAE": "rqvae", "TIGER-GUMBEL": "gumbel",
-               "TIGER-ROTATION": "rotation", "TIGER-SIMVQ": "simvq",
-               "TIGER-PQKMEANS": "pqkmeans", "LETTER": "letter",
-               "R3-VAE": "r3-vae"}[model]
+    tok_tag = TOK_TAG[model]
     argv = [
         "tiger_pipeline.py", "--root", args.root, "--dataset", args.dataset,
         "--sem-feat-file", FEATS, "--rqvae-epochs", "40",
@@ -495,11 +499,7 @@ def main():
             return set()
         if model in PIPELINE_MODELS:
             desc = "TIGER" if model.startswith("TIGER-") else model
-            tok = {"TIGER-RQVAE": "rqvae", "TIGER-GUMBEL": "gumbel",
-                   "TIGER-ROTATION": "rotation", "TIGER-SIMVQ": "simvq",
-                   "TIGER-PQKMEANS": "pqkmeans", "LETTER": "letter",
-                   "R3-VAE": "r3-vae"}[model]
-            tags = [FAMILY[desc], "32", tok]
+            tags = [FAMILY[desc], "32", TOK_TAG[model]]
         elif model in CTR_MODELS:
             desc, tags = model, [FAMILY.get(model, "Model")]
         else:
