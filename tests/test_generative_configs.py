@@ -132,3 +132,57 @@ def test_etegrec_launches_from_config(tiny_dataset, tmp_path):
         "--log2file", "false", "--log2console", "false",
     ])
     assert "NDCG@10" in best
+
+
+def _stage_a_yamls():
+    """Every stage-A tokenizer YAML (model RQVAE/LETTER/R3-VAE) across
+    the generative config surface — the variants differ in quantization
+    strategy (ste/gumbel/rotation/simvq/product) and loss shape."""
+    out = []
+    for family in EXPECTED:
+        for path in _family_yamls(family):
+            with open(path) as fh:
+                cfg = yaml.safe_load(fh)
+            if cfg.get("model") in ("RQVAE", "LETTER", "R3-VAE"):
+                out.append(path)
+    return out
+
+
+@pytest.mark.parametrize(
+    "path", _stage_a_yamls(),
+    ids=lambda p: "/".join(p.split(os.sep)[-3:-1] + [p.split(os.sep)[-1][:12]]),
+)
+def test_every_tokenizer_config_builds_and_fits(path, tiny_dataset):
+    """Every stage-A tokenizer config must BUILD at its committed
+    hyperparameters and run one fit step — parsing alone missed a
+    product-strategy latent-shape bug that made the whole pqvae config
+    dir un-runnable (encoder latent must be num_codebooks*codebook_dim,
+    reference TIGER/train_pqvae.py:77)."""
+    import jax
+    import jax.numpy as jnp
+
+    from recboard_tpu import run as run_mod
+    from recboard_tpu import utils
+
+    with open(path) as fh:
+        cfg = dict(yaml.safe_load(fh))
+    I = tiny_dataset.fields["ITEM", "ID"].count
+    feat_name = cfg.get("sem_feat_file") or "sem_feats.pkl"
+    feat_path = os.path.join(tiny_dataset.path, feat_name)
+    if not os.path.isfile(feat_path):
+        feats = np.random.default_rng(0).normal(size=(I, 24))
+        utils.export_pickle(feats.astype(np.float32), feat_path)
+    model = run_mod.build_model(cfg["model"], tiny_dataset, cfg)
+    batch = {model.Item: jnp.arange(min(16, I), dtype=jnp.int32)}
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "dropout": jax.random.PRNGKey(1),
+        "sampling": jax.random.PRNGKey(2),
+    }
+    variables = model.init(rngs, batch, method="fit")
+    loss, _ = model.apply(
+        variables, batch, method="fit",
+        rngs={"dropout": jax.random.PRNGKey(3),
+              "sampling": jax.random.PRNGKey(4)},
+    )
+    assert np.isfinite(float(loss)), path
