@@ -153,8 +153,10 @@ class GLINTRU(SeqRecArch):
         h2 = nn.gelu(self.dense2(x))
 
         g = h1
+        # no seq_lengths: bit-identical outputs (the flag only selects the
+        # final carry, unread here) — see gru4rec.py
         for gru in self.gru_layers:
-            g = gru(g, seq_lengths=lengths)
+            g = gru(g)
         gate = self.gate_dropout(
             self.gate_up(nn.silu(self.gate_down(h1))), deterministic=deterministic
         )

@@ -97,8 +97,14 @@ class GRU4Rec(SeqRecArch):
         x = self.item_embeddings(seqs)
         x = self.emb_dropout(x, deterministic=deterministic)
         lengths = mask.sum(axis=-1).astype(jnp.int32)
+        # No seq_lengths: flax nn.RNN computes identical outputs at every
+        # step either way — the flag only selects the final carry, which
+        # we never read (we gather position lengths-1 from the outputs).
+        # Step time is unchanged (A/B 3.03 vs 3.05 ms at the bench config:
+        # XLA DCEs the stacked carry the flag adds), so this is semantic
+        # de-noising, not a perf lever.
         for i, gru in enumerate(self.grus):
-            x = gru(x, seq_lengths=lengths)
+            x = gru(x)
             if i + 1 < len(self.grus):
                 x = self.hidden_dropout(x, deterministic=deterministic)
         x = self.dense(x)  # (B, L, D)

@@ -99,8 +99,10 @@ class NARM(SeqRecArch):
         x = self.item_embeddings(seqs)
         x = self.emb_dropout(x, deterministic=deterministic)
         lengths = mask.sum(axis=-1).astype(jnp.int32)
+        # no seq_lengths: outputs are bit-identical without it (the flag
+        # only selects the final carry, unread here) — see gru4rec.py
         for gru in self.grus:
-            x = gru(x, seq_lengths=lengths)
+            x = gru(x)
         last = jnp.clip(lengths - 1, 0)
         ht = jnp.take_along_axis(
             x, last[:, None, None].repeat(x.shape[-1], -1), axis=1
