@@ -205,7 +205,7 @@ def bench_zoo(steps: int) -> dict:
         return None
     out = {}
     for name in ("gru4rec", "hstu", "bsarec", "bert4rec", "lightgcn",
-                 "tiger", "tiger_serve", "etegrec"):
+                 "tiger", "tiger_serve", "sasrec_serve", "etegrec"):
         try:
             res = tpu_bench.BENCHES[name](ds, steps)
             ms, bsz = res[0], (res[2] if len(res) > 2 else tpu_bench.BATCH)

@@ -331,6 +331,52 @@ def bench_etegrec(ds, steps):
     return ms, loss, B
 
 
+def bench_sasrec_serve(ds, steps):
+    """Serving throughput of the flagship dense path: encode the query
+    batch, score the FULL catalog, take top-10 (the reference's eval
+    hot loop, SASRec/main.py:223-236, here the `recommend` CLI's jitted
+    program minus seen-masking). Scan-chunk timed like the rest of the
+    zoo; `recommend --bench` measures the honest per-dispatch regime
+    (docs/PERF.md Serving)."""
+    import jax
+    import jax.numpy as jnp
+
+    from recboard_tpu.models.zoo import SASRec
+
+    model = SASRec(ds, maxlen=MAXLEN, embedding_dim=64, num_blocks=2)
+    N = model.Item.count
+    B = 1024
+    rng = np.random.default_rng(0)
+    seqs = jnp.asarray(rng.integers(1, N + 1, (B, MAXLEN)), jnp.int32)
+    params = jax.jit(
+        functools.partial(model.init, method="recommend_from_full")
+    )(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        {model.ISeq: seqs},
+    )["params"]
+
+    def serve(_, x):
+        scores = model.apply(
+            {"params": params}, {model.ISeq: x}, method="recommend_from_full"
+        )
+        _, idx = jax.lax.top_k(scores, 10)
+        return None, idx.sum()
+
+    @jax.jit
+    def run_chunk(x):
+        _, outs = jax.lax.scan(serve, None, x)
+        return outs.sum()
+
+    xs = jnp.broadcast_to(seqs, (steps, B, MAXLEN))
+    run_chunk(xs).block_until_ready()
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_chunk(xs).block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return best, 0.0, B
+
+
 BENCHES = {
     "sasrec": bench_sasrec,
     "gru4rec": bench_gru4rec,
@@ -338,6 +384,7 @@ BENCHES = {
     "lightgcn": bench_lightgcn,
     "tiger": bench_tiger,
     "tiger_serve": bench_tiger_serve,
+    "sasrec_serve": bench_sasrec_serve,
     "bsarec": bench_bsarec,
     "bert4rec": bench_bert4rec,
     "etegrec": bench_etegrec,
