@@ -467,16 +467,38 @@ def main():
         U = ds.fields["USER", "ID"].count
         I = ds.fields["ITEM", "ID"].count
         inter = sum(len(v) for v in (ds.train(), ds.valid(), ds.test()))
+        stats = {"#Users": U, "#Items": I, "#Interactions": inter,
+                 "Avg. Len.": round(inter / max(U, 1), 2)}
+        meta_file = os.path.join(args.benchmark_root, args.dataset,
+                                 "meta.json")
+        if os.path.isfile(meta_file):
+            # a committed store dir already exists for this dataset name:
+            # the local data (possibly just regenerated in /tmp, which is
+            # wiped between rounds) MUST reproduce it, or new rows would
+            # silently mix datasets. This bit us: SynGames was originally
+            # built with --avg-len 30, the flag wasn't recorded in
+            # build_command, and a default-avg-len regeneration produced
+            # 11.4k interactions vs the committed 24k — one TIGER row was
+            # recorded against the wrong dataset before the mismatch was
+            # noticed (row dropped).
+            old = json.load(open(meta_file)).get("statistics", {})
+            if old and old != stats:
+                sys.exit(
+                    f"dataset mismatch for {args.dataset}: committed "
+                    f"meta.json statistics {old} != regenerated {stats}. "
+                    "Pass the ORIGINAL generation knobs (see meta.json "
+                    "build_command) or use a fresh dataset name."
+                )
         B_.write_meta(
             args.benchmark_root, args.dataset,
-            statistics={"#Users": U, "#Items": I, "#Interactions": inter,
-                        "Avg. Len.": round(inter / max(U, 1), 2)},
+            statistics=stats,
             build_command=(
                 f"python tools/seed_sweep.py --dataset {args.dataset} "
                 f"--splitting {args.splitting} "
                 f"--markov-strength {args.markov_strength} "
                 f"--group-strength {args.group_strength} "
-                f"--num-users {args.num_users} --num-items {args.num_items}"
+                f"--num-users {args.num_users} --num-items {args.num_items} "
+                f"--avg-len {args.avg_len}"
             ),
             description=(
                 f"synthetic planted-structure dataset (markov "
