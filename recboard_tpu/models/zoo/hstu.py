@@ -212,6 +212,12 @@ class HSTU(SeqRecArch):
     num_buckets: int = 100
     temperature: float = 0.05
     shared_negs: bool = False
+    # negative-sampling mode: "" derives from shared_negs (back-compat);
+    # "per_position" = reference parity (HSTU/main.py:157-162, B·L·K-row
+    # gather), "per_row" = one set per sequence ((B, K)-row gather +
+    # batched MXU scoring — near-per-position quality at near-shared
+    # speed, see docs/PERF.md), "shared" = one set per step.
+    negs_mode: str = ""
     # rematerialize blocks in backward: recompute each block's (B, H, L, L)
     # qk/attn intermediates instead of saving+reloading them from HBM.
     # Numerically identical (pinned by tests/test_models_smoke3.py) and
@@ -344,7 +350,26 @@ class HSTU(SeqRecArch):
         seqs = data[self.ISeq]
         B, L = seqs.shape
         weights = (seqs != self.PADDING_VALUE).astype(jnp.float32)
-        if self.shared_negs:
+        mode = self.negs_mode or ("shared" if self.shared_negs else "per_position")
+        if mode == "per_row":
+            # one negative set per SEQUENCE: a (B, K)-row gather +
+            # batched (L, D) @ (D, K) MXU scoring — K-fold fewer gathered
+            # rows than per-position while each sequence keeps its own
+            # pool (ops/losses.sampled_softmax_loss_per_row).
+            user_embds, item_embds = self.encode(data, deterministic=False)
+            neg_ids = jax.random.randint(
+                self.make_rng("sampling"), (B, self.num_negs), 0, self.Item.count
+            )
+            rec_loss = loss_ops.sampled_softmax_loss_per_row(
+                user_embds,
+                data[self.IPos],
+                neg_ids,
+                item_embds,
+                weights,
+                temperature=self.temperature,
+            )
+            return rec_loss, {"rec_loss": rec_loss}
+        if mode == "shared":
             # TPU-first path: one shared negative set per step → a single
             # K-row gather + an MXU matmul instead of a (B·L·K)-row
             # random gather (ops/losses.py sampled_softmax_loss_shared).

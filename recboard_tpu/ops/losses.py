@@ -36,8 +36,40 @@ __all__ = [
     "sampled_softmax_loss_reference",
     "sampled_softmax_loss_pallas",
     "sampled_softmax_loss_shared",
+    "sampled_softmax_loss_per_row",
     "sampled_softmax_shared_fused",
 ]
+
+
+def sampled_softmax_loss_per_row(
+    user: jnp.ndarray,  # (B, L, D)
+    pos_ids: jnp.ndarray,  # (B, L)
+    neg_ids: jnp.ndarray,  # (B, K) — one negative set per sequence
+    table: jnp.ndarray,  # (N, D)
+    weights: jnp.ndarray,  # (B, L)
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Sampled softmax with one negative set PER SEQUENCE.
+
+    The middle point between the reference's per-position sampler
+    (HSTU/main.py:157-162: (B, L, K) ids → a B·L·K-row random gather,
+    gather-bound by construction) and the fully shared set
+    (`sampled_softmax_loss_shared`: one K-row gather, but every
+    position in the batch scores the same pool). Per-row gathers
+    (B, K, D) rows — K-fold fewer than per-position — and scores them
+    with a batched (L, D) @ (D, K) MXU matmul per sequence; positions
+    within a sequence share the set, sequences do not. Accidental
+    positive hits are left in, as in the reference.
+    """
+    neg = table[neg_ids]  # (B, K, D): the only large gather
+    pos = table[pos_ids]  # (B, L, D)
+    pos_logit = (user * pos).sum(-1) / temperature  # (B, L)
+    neg_logits = jnp.einsum("bld,bkd->blk", user, neg) / temperature
+    logz = jax.scipy.special.logsumexp(
+        jnp.concatenate([pos_logit[..., None], neg_logits], axis=-1), axis=-1
+    )
+    loss = (logz - pos_logit) * weights
+    return loss.sum() / jnp.maximum(weights.sum(), 1.0)
 
 
 def sampled_softmax_loss_shared(

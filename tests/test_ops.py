@@ -112,6 +112,66 @@ def test_sampled_softmax_shared_matches_reference():
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
 
 
+def test_sampled_softmax_per_row_matches_reference():
+    # Per-row negatives == per-position variant when every position of a
+    # row is handed the SAME candidate list [pos; that row's negs].
+    from recboard_tpu.ops import losses as L
+
+    rng = np.random.default_rng(11)
+    B, Ln, K, D, N = 6, 5, 9, 8, 32
+    user = jnp.asarray(rng.normal(size=(B, Ln, D)), jnp.float32)
+    pos = jnp.asarray(rng.integers(0, N, size=(B, Ln)), jnp.int32)
+    negs = jnp.asarray(rng.integers(0, N, size=(B, K)), jnp.int32)
+    table = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    w = jnp.asarray(rng.integers(0, 2, size=(B, Ln)), jnp.float32)
+    ids = jnp.concatenate(
+        [pos[..., None], jnp.tile(negs[:, None, :], (1, Ln, 1))], axis=-1
+    )  # (B, Ln, 1+K)
+    a = L.sampled_softmax_loss_reference(
+        user.reshape(B * Ln, D), ids.reshape(B * Ln, -1), table,
+        w.reshape(-1), 0.3,
+    )
+    b = L.sampled_softmax_loss_per_row(user, pos, negs, table, w, 0.3)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+    ga = jax.grad(
+        lambda t: L.sampled_softmax_loss_reference(
+            user.reshape(B * Ln, D), ids.reshape(B * Ln, -1), t,
+            w.reshape(-1), 0.3,
+        )
+    )(table)
+    gb = jax.grad(
+        lambda t: L.sampled_softmax_loss_per_row(user, pos, negs, t, w, 0.3)
+    )(table)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
+
+
+def test_hstu_per_row_negs_learns(tiny_dataset):
+    from recboard_tpu.models.zoo import HSTU
+
+    model = HSTU(tiny_dataset, maxlen=8, num_blocks=1, num_heads=2,
+                 embedding_dim=16, num_negs=16, temperature=0.2,
+                 negs_mode="per_row")
+    import jax as _jax
+
+    rng = np.random.default_rng(0)
+    batch = {
+        model.ISeq: jnp.asarray(rng.integers(1, 5, (4, 8)), jnp.int32),
+        model.IPos: jnp.asarray(rng.integers(0, 4, (4, 8)), jnp.int32),
+        model.Time: jnp.asarray(rng.integers(1, 100, (4, 8)), jnp.int32),
+    }
+    variables = model.init(
+        {"params": _jax.random.PRNGKey(0), "dropout": _jax.random.PRNGKey(1),
+         "sampling": _jax.random.PRNGKey(2)},
+        batch, method="fit",
+    )
+    loss, logs = model.apply(
+        variables, batch, method="fit",
+        rngs={"dropout": _jax.random.PRNGKey(3),
+              "sampling": _jax.random.PRNGKey(4)},
+    )
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
 def test_hstu_shared_negs_learns(tiny_dataset):
     from recboard_tpu.data.device import DeviceTimeSeqSampler
     from recboard_tpu.launcher import Coach
