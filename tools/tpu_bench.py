@@ -163,7 +163,7 @@ def bench_bert4rec(ds, steps):
     return _measure(model, batch, steps, rngs_extra=("sampling",))
 
 
-def bench_hstu(ds, steps, shared_negs=True):
+def bench_hstu(ds, steps, negs_mode="shared"):
     import jax.numpy as jnp
 
     from recboard_tpu.models.zoo import HSTU
@@ -180,7 +180,7 @@ def bench_hstu(ds, steps, shared_negs=True):
         attention_dim=4,
         num_buckets=128,
         temperature=0.1,
-        shared_negs=shared_negs,
+        negs_mode=negs_mode,
     )
     N = model.Item.count
     rng = np.random.default_rng(0)
