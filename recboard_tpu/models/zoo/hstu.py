@@ -24,9 +24,12 @@ zero host involvement; the (B,H,L,L)·(B,L,H,Dv) contraction maps to
 the MXU and XLA fuses the silu/bias/causal elementwise chain into it.
 The time-bucket bias uses a one-hot contraction instead of a gather
 (15× faster fwd+bwd at B=1024 — see RelativeBucketedTimeAndPositionBias).
-``shared_negs=True`` swaps the per-position negative gather for one
-shared negative set scored on the MXU (55× epoch speedup, see
-ops/losses.sampled_softmax_loss_shared).
+``negs_mode`` picks the negative-sampling granularity: per_position
+(reference parity, gather-bound — 381 ms/step at the Beauty config),
+per_row (one set per sequence: 11.3 ms/step, 34× faster at measured
+quality PARITY — the recommended TPU mode), shared (one set per step:
+5.0 ms/step at a measured −3.4% NDCG pool-dilution cost). Numbers and
+the 5-seed A/B: docs/PERF.md.
 """
 
 from __future__ import annotations
