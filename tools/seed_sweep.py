@@ -246,8 +246,21 @@ def prepare_side_inputs(ds):
         users, items = ds.train().to_bigraph_edges()
         M[np.asarray(users), np.asarray(items)] = 1.0
         M /= np.maximum(M.sum(1, keepdims=True), 1.0) ** 0.5
-        _, s, vt = np.linalg.svd(M, full_matrices=False)
         k = 24
+        if U * I > 50_000_000:
+            # Beauty-scale catalogs: dense LAPACK SVD of a 22k x 12k
+            # matrix is ~TFLOPs (an hour of CPU); a randomized range
+            # finder (Halko et al.) needs only O(U*I*(k+p)) flops and
+            # matches the top-k factors to the noise floor we inject
+            # below anyway.
+            rng_svd = np.random.default_rng(1)
+            omega = rng_svd.normal(size=(U, k + 8)).astype(np.float32)
+            Y = M.T @ omega                      # (I, k+8) range sketch
+            Q, _ = np.linalg.qr(M @ Y)           # (U, k+8) orthonormal
+            _, s, vt = np.linalg.svd(Q.T @ M, full_matrices=False)
+            s, vt = s[:k], vt[:k]
+        else:
+            _, s, vt = np.linalg.svd(M, full_matrices=False)
         feats = (vt[:k].T * s[:k]).astype(np.float32)
         feats /= max(np.abs(feats).max(), 1e-9)
         feats += (
@@ -408,6 +421,11 @@ def main():
     ap.add_argument("--markov-strength", type=float, default=0.45)
     ap.add_argument("--group-strength", type=float, default=0.45)
     ap.add_argument("--avg-len", type=float, default=14.0)
+    ap.add_argument("--num-groups", type=int, default=6,
+                    help="planted item groups; scale with the catalog "
+                         "(6 suits a 300-item store; a Beauty-scale "
+                         "12k-item catalog wants ~96 so the group "
+                         "signal stays learnable at ~126 items/group)")
     ap.add_argument("--splitting", default="LOU", choices=("LOU", "ROU"),
                     help="second store datasets: e.g. --dataset "
                          "SynYelp_000_ROU --splitting ROU "
@@ -458,6 +476,7 @@ def main():
             avg_len=args.avg_len, seed=7,
             markov_strength=args.markov_strength,
             group_strength=args.group_strength,
+            num_groups=args.num_groups,
             splitting=args.splitting,
         )
     ds = NextItemRecDataSet(args.root, args.dataset)
@@ -498,7 +517,7 @@ def main():
                 f"--markov-strength {args.markov_strength} "
                 f"--group-strength {args.group_strength} "
                 f"--num-users {args.num_users} --num-items {args.num_items} "
-                f"--avg-len {args.avg_len}"
+                f"--avg-len {args.avg_len} --num-groups {args.num_groups}"
             ),
             description=(
                 f"synthetic planted-structure dataset (markov "
@@ -507,8 +526,16 @@ def main():
                 "this environment"
             ),
         )
-    prepare_side_inputs(ds)
     wanted_models = set(args.models.split(","))
+    # side inputs (SVD features / semantic codes / SID vocab) are only
+    # needed by the feature-driven families; a SASRec-only sweep must
+    # not pay the big-catalog SVD
+    needs_side = PIPELINE_MODELS | {
+        m for m, extra in MODELS.items()
+        if any(a in (FEATS, CODES, VOCAB, COLLAB) for a in extra)
+    }
+    if wanted_models & needs_side:
+        prepare_side_inputs(ds)
     if wanted_models & {"E4SRec", "LETTER"}:
         prepare_collab_features(ds, args)
 
