@@ -65,7 +65,10 @@ class LightGCN(GenRecArch):
         avg = all_embds / (self.num_layers + 1)
         x = all_embds
         for _ in range(self.num_layers):
-            x = adj @ x
+            # fixed train-split adjacency → custom-VJP SpMM whose
+            # backward is the pre-sorted transpose segment-sum instead
+            # of an unsorted scatter-add (graph.py spmm_const)
+            x = adj.spmm_const(x)
             avg = avg + x / (self.num_layers + 1)
         return avg[: self.User.count], avg[self.User.count :]
 
