@@ -33,6 +33,47 @@ BATCH = 1024
 MAXLEN = 50
 NUM_ITEMS = 12_101
 
+# Public TPU v5e (v5 lite) peaks — jax-ml.github.io/scaling-book:
+# 197 TFLOP/s bf16 MXU, 819 GB/s HBM. f32 matmuls run as multi-pass
+# bf16 on the MXU (~1/4 rate); MFU below is reported against the bf16
+# ceiling — the hardware's speed of light, reachable via
+# --compute-dtype bfloat16 where the step is matmul-bound (PERF.md).
+PEAK_BF16_FLOPS = 197e12
+HBM_BYTES_PER_S = 819e9
+
+# filled by _measure for the model just benchmarked: XLA-counted
+# flops/bytes per step from the compiled HLO's cost analysis
+# (post-fusion, so bytes ≈ true HBM traffic), plus derived roofline
+# numbers. bench.py copies it into the driver JSON's "mfu" dict.
+LAST_COST = {}
+
+
+def _cost_analysis(compiled, steps: int, dt: float) -> dict:
+    """Roofline accounting from XLA's own cost model."""
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = float(ca.get("flops", 0.0)) / steps
+        nbytes = float(ca.get("bytes accessed", 0.0)) / steps
+    except Exception:
+        return {}
+    if not flops:
+        return {}
+    achieved = flops / dt
+    ai = flops / max(nbytes, 1.0)  # arithmetic intensity (flops/byte)
+    ridge = PEAK_BF16_FLOPS / HBM_BYTES_PER_S
+    roof = min(PEAK_BF16_FLOPS, ai * HBM_BYTES_PER_S)
+    return {
+        "flops_per_step": round(flops),
+        "bytes_per_step": round(nbytes),
+        "achieved_tflops": round(achieved / 1e12, 3),
+        "mfu_pct": round(100 * achieved / PEAK_BF16_FLOPS, 2),
+        "hbm_gbps": round(nbytes / dt / 1e9, 1),
+        "ai_flops_per_byte": round(ai, 1),
+        "bound": "hbm" if ai < ridge else "mxu",
+        "pct_of_roofline": round(100 * achieved / roof, 1),
+    }
+
 
 def _dataset():
     from recboard_tpu.data import synthetic
@@ -87,6 +128,10 @@ def _measure(model, batch, steps, rngs_extra=()):
         return params, opt, losses[-1]
 
     p, o = params, tx.init(params)
+    try:  # lower BEFORE the first call — donated buffers die after it
+        compiled = run_chunk.lower(p, o, jnp.int32(0)).compile()
+    except Exception:
+        compiled = None
     p, o, loss = run_chunk(p, o, jnp.int32(0))
     loss.block_until_ready()
     best = 1e9
@@ -95,6 +140,9 @@ def _measure(model, batch, steps, rngs_extra=()):
         p, o, loss = run_chunk(p, o, jnp.int32(k * steps))
         loss.block_until_ready()
         best = min(best, (time.perf_counter() - t0) / steps)
+    LAST_COST.clear()
+    if compiled is not None:  # post-fusion flops/bytes → roofline
+        LAST_COST.update(_cost_analysis(compiled, steps, best))
     return best, float(loss)
 
 
@@ -291,6 +339,13 @@ def bench_tiger_serve(ds, steps):
         t0 = time.perf_counter()
         run_chunk(xs).block_until_ready()
         best = min(best, (time.perf_counter() - t0) / steps)
+    LAST_COST.clear()
+    try:
+        LAST_COST.update(
+            _cost_analysis(run_chunk.lower(xs).compile(), steps, best)
+        )
+    except Exception:
+        pass
     return best, 0.0, B  # seconds/batch, like _measure
 
 
@@ -374,6 +429,13 @@ def bench_sasrec_serve(ds, steps):
         t0 = time.perf_counter()
         run_chunk(xs).block_until_ready()
         best = min(best, (time.perf_counter() - t0) / steps)
+    LAST_COST.clear()
+    try:
+        LAST_COST.update(
+            _cost_analysis(run_chunk.lower(xs).compile(), steps, best)
+        )
+    except Exception:
+        pass
     return best, 0.0, B
 
 
@@ -381,6 +443,13 @@ BENCHES = {
     "sasrec": bench_sasrec,
     "gru4rec": bench_gru4rec,
     "hstu": bench_hstu,
+    # labeled negative-sampling modes (docs/PERF.md HSTU ladder):
+    # per_position is the reference default (HSTU/main.py:157-162);
+    # per_row is the recommended TPU mode (34x at 5-seed quality
+    # parity). The driver zoo reports BOTH so the headline never
+    # advertises a non-default mode silently.
+    "hstu_per_position": functools.partial(bench_hstu, negs_mode="per_position"),
+    "hstu_per_row": functools.partial(bench_hstu, negs_mode="per_row"),
     "lightgcn": bench_lightgcn,
     "tiger": bench_tiger,
     "tiger_serve": bench_tiger_serve,
@@ -418,6 +487,7 @@ def main():
                         "ms_per_step": round(ms * 1e3, 3),
                         "examples_per_s": round(bsz / ms, 1),
                         "loss": round(loss, 4),
+                        **LAST_COST,
                     }
                 ),
                 flush=True,
