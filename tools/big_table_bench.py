@@ -1,0 +1,184 @@
+"""HBM-scale catalog benchmark — train + serve a SASRec-style model
+over a multi-10M-row item table on ONE chip.
+
+The BASELINE.json north star calls for "tables exceeding single-chip
+HBM"; every other bench in this repo runs the reference's 12.1k-item
+catalogs. This tool exercises the big-table machinery
+(parallel/big_table.py) at production catalog scale:
+
+* item table 20M x 64 f32 = 5.1 GB (40M = 10.2 GB — most of a 16 GB
+  v5e) trained with row-wise AdaGrad sparse updates: the step cost is
+  O(touched rows), a dense-Adam step would need 3x the table in HBM
+  plus an O(V*D) update and does not fit at 40M.
+* training step: (B, L) sequence gather -> 2-block causal tower ->
+  per-row sampled softmax over (B, K) negatives (the recommended TPU
+  negatives mode, docs/PERF.md) with positives as a shifted view of
+  the sequence gather (no second table gather).
+* serving: blocked_top_k streams the FULL catalog in 2M-row slabs —
+  a (B, 20M) score matrix would be 82 GB and can never exist.
+
+    python tools/big_table_bench.py [--vocab 20000000] [--steps 20]
+
+Prints one JSON line per phase (train/serve) with ms, examples/s,
+table GB, and device memory stats. Multi-chip correctness of the same
+path (row-sharded table, no full-table all-gather) is pinned on the
+8-device CPU mesh by tests/test_big_table.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vocab", type=int, default=20_000_000)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--maxlen", type=int, default=50)
+    ap.add_argument("--negs", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--topk-block", type=int, default=2_097_152)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+
+    from recboard_tpu.ops import attention as attn_ops
+    from recboard_tpu.parallel.big_table import (
+        apply_row_grads,
+        blocked_top_k,
+        init_rowwise_adagrad,
+    )
+
+    V, D, B, L, K = args.vocab, args.dim, args.batch, args.maxlen, args.negs
+
+    import flax.linen as nn
+
+    class Tower(nn.Module):
+        """Causal encoder over pre-gathered rows (the table lives
+        outside the module — that's the point)."""
+
+        @nn.compact
+        def __call__(self, rows):  # (B, L, D)
+            x = rows * jnp.sqrt(jnp.float32(D))
+            x = x + self.param(
+                "pos", nn.initializers.normal(0.02), (L, D)
+            )[None]
+            for _ in range(2):
+                qkv = nn.DenseGeneral((3, D), axis=-1)(nn.LayerNorm()(x))
+                x = x + attn_ops.mha(
+                    qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :],
+                    num_heads=1, causal=True,
+                )
+                h = nn.Dense(4 * D)(nn.LayerNorm()(x))
+                x = x + nn.Dense(D)(nn.relu(h))
+            return nn.LayerNorm()(x)
+
+    tower = Tower()
+    key = jax.random.PRNGKey(0)
+    state = init_rowwise_adagrad(key, V, D, scale=0.05)
+    dense = tower.init(key, jnp.zeros((B, L, D)))
+    tx = optax.adam(1e-3)
+    opt = tx.init(dense)
+
+    t_bytes = state.table.nbytes + state.acc.nbytes
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(state, dense, opt, ids_seq, ids_neg):
+        rows_seq = state.table[ids_seq]  # (B, L, D)
+        rows_neg = state.table[ids_neg]  # (B, K, D)
+
+        def loss_fn(dense, rows_seq, rows_neg):
+            h = tower.apply(dense, rows_seq)
+            # positives = next item's rows — a shifted VIEW of the
+            # sequence gather (no extra table gather; ops/losses
+            # fused-gather trick, tests/test_fused_gather.py)
+            pos = jnp.roll(rows_seq, -1, axis=1)
+            q = h[:, :-1]  # predict positions 1..L-1
+            p = pos[:, :-1]
+            pl = jnp.einsum("bld,bld->bl", q, p)
+            nl = jnp.einsum("bld,bkd->blk", q, rows_neg)
+            logits = jnp.concatenate([pl[..., None], nl], axis=-1)
+            return -jnp.mean(jax.nn.log_softmax(logits)[..., 0])
+
+        loss, (g_dense, g_seq, g_neg) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2)
+        )(dense, rows_seq, rows_neg)
+        ids = jnp.concatenate([ids_seq.reshape(-1), ids_neg.reshape(-1)])
+        grads = jnp.concatenate(
+            [g_seq.reshape(-1, D), g_neg.reshape(-1, D)]
+        )
+        state = apply_row_grads(state, ids, grads, lr=0.05)
+        up, opt = tx.update(g_dense, opt, dense)
+        return state, optax.apply_updates(dense, up), opt, loss
+
+    rng = np.random.default_rng(0)
+    ids_seq = jnp.asarray(rng.integers(0, V, (B, L)), jnp.int32)
+    ids_neg = jnp.asarray(rng.integers(0, V, (B, K)), jnp.int32)
+
+    state, dense, opt, loss = step(state, dense, opt, ids_seq, ids_neg)
+    loss.block_until_ready()
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, dense, opt, loss = step(state, dense, opt, ids_seq, ids_neg)
+        loss.block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / args.steps)
+    mem = {}
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+        mem = {"hbm_in_use_gb": round(ms["bytes_in_use"] / 2**30, 2),
+               "hbm_peak_gb": round(ms.get("peak_bytes_in_use", 0) / 2**30, 2)}
+    except Exception:
+        pass
+    print(json.dumps({
+        "phase": "train", "vocab": V, "dim": D, "batch": B,
+        "table_gb": round(t_bytes / 2**30, 2),
+        "ms_per_step": round(best * 1e3, 2),
+        "examples_per_s": round(B / best, 1),
+        "rows_touched_per_step": B * (L + K),
+        "loss": round(float(loss), 4), **mem,
+    }), flush=True)
+
+    # ---- serving: streamed full-catalog top-10 --------------------
+    @functools.partial(jax.jit, static_argnames=("k", "block_size"))
+    def serve(table, q, k, block_size):
+        return blocked_top_k(q, table, k=k, block_size=block_size)
+
+    q = jax.random.normal(jax.random.PRNGKey(1), (B, D)) * 0.05
+    v_, i_ = serve(state.table, q, k=10, block_size=args.topk_block)
+    v_.block_until_ready()
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        v_, i_ = serve(state.table, q, k=10, block_size=args.topk_block)
+        v_.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({
+        "phase": "serve_full_catalog_top10", "vocab": V, "batch": B,
+        "ms_per_batch": round(best * 1e3, 2),
+        "queries_per_s": round(B / best, 1),
+        "score_flops": 2 * B * V * D,
+        "achieved_tflops": round(2 * B * V * D / best / 1e12, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
