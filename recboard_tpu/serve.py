@@ -86,6 +86,13 @@ def main(argv: Optional[list] = None):
                          "single-chip HBM; requires a model with "
                          "encode_queries/item_table and "
                          "--num-model-shards > 1")
+    ap.add_argument("--blocked-topk", type=int, default=0, metavar="ROWS",
+                    help="stream the catalog in ROWS-row slabs with a "
+                         "running top-k (parallel/big_table.blocked_top_k) "
+                         "instead of materializing (B, V) scores — the "
+                         "SINGLE-chip path for multi-10M-row catalogs "
+                         "(82 GB at B=1024, V=20M would OOM); requires a "
+                         "model with encode_queries/item_table")
     ap.add_argument("--bench", action="store_true",
                     help="print one JSON serving-latency line, no TSV")
     ap.add_argument("--bench-batches", type=int, default=64,
@@ -276,6 +283,40 @@ def main(argv: Optional[list] = None):
             vals, idx = rank_top_k_row_sharded(
                 mesh, q, table, kk, valid_count=V
             )
+            if mask_seen:
+                hit = (idx[:, :, None] == seen_ids[:, None, :]).any(-1)
+                vals = jnp.where(hit, -jnp.inf, vals)
+                vals, pos = jax.lax.top_k(vals, k)
+                idx = jnp.take_along_axis(idx, pos, axis=1)
+            else:
+                vals, idx = vals[:, :k], idx[:, :k]
+            return vals, idx
+    elif args.blocked_topk:
+        from .models.base import RecSysArch as _Base
+
+        if type(model).encode_queries is _Base.encode_queries:
+            raise SystemExit(
+                f"{cfg.model} does not define encode_queries/item_table "
+                "(two-tower dot-product scorers only)"
+            )
+        from .parallel.big_table import blocked_top_k
+
+        block = int(args.blocked_topk)
+
+        @jax.jit
+        def score_topk(params, buffers, batch, seen_ids):
+            q = model.apply(
+                {"params": params, **stats}, batch, method="encode_queries"
+            )
+            table = model.apply(
+                {"params": params, **stats}, method="item_table"
+            )
+            V = table.shape[0]
+            # exact unseen top-k: take k + seen-width candidates, drop
+            # the seen ones, re-top-k — ≥k unseen candidates remain
+            W = seen_ids.shape[1] if mask_seen else 0
+            kk = min(k + W, V)
+            vals, idx = blocked_top_k(q, table, kk, block_size=block)
             if mask_seen:
                 hit = (idx[:, :, None] == seen_ids[:, None, :]).any(-1)
                 vals = jnp.where(hit, -jnp.inf, vals)

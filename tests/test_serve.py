@@ -56,6 +56,16 @@ def test_recommend_roundtrip(tiny_dataset, tmp_path, capsys):
     ])
     assert out3.read_text() == out.read_text()
 
+    # blocked (streaming) full-catalog ranking: slab-scanned top-k
+    # (parallel/big_table.blocked_top_k) must emit the SAME lists as
+    # the dense path — the single-chip route for 10M+-row catalogs
+    out4 = tmp_path / "recs_blocked.tsv"
+    serve.main([
+        "--run", str(run_dirs[-1]), "--topk", "7",
+        "--blocked-topk", "13", "--output", str(out4),
+    ])
+    assert out4.read_text() == out.read_text()
+
     # bench mode: one JSON latency line, no TSV
     serve.main(["--run", str(run_dirs[-1]), "--bench", "--topk", "7"])
     import json

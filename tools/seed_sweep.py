@@ -272,8 +272,14 @@ def prepare_side_inputs(ds):
         feats = np.asarray(utils.import_pickle(feats_path), np.float32)
     codes_path = os.path.join(ds.path, CODES)
     if not os.path.isfile(codes_path):
-        codes = residual_kmeans_sids(feats, num_codebooks=2, num_codewords=16,
-                                     iters=8)
+        # SID capacity must scale with the catalog: 2x16 (256 leaves)
+        # suits the 300-item toy stores; at a Beauty-scale 12k-item
+        # catalog it would force ~47-way collisions per leaf and cap
+        # what ANY generative model can address (the r2 ETEGRec
+        # collapse failure mode). 3x64 = 262k addresses.
+        nc, nw = (3, 64) if I > 2000 else (2, 16)
+        codes = residual_kmeans_sids(feats, num_codebooks=nc,
+                                     num_codewords=nw, iters=8)
         utils.export_pickle(codes, codes_path)
         SemIDConverter.from_codes(codes).save(os.path.join(ds.path, VOCAB))
 
