@@ -263,6 +263,9 @@ def main():
     ap.add_argument("--no-torch-baseline", action="store_true")
     ap.add_argument("--no-zoo", action="store_true",
                     help="skip the per-family zoo sweep (headline only)")
+    ap.add_argument("--no-big-catalog", action="store_true",
+                    help="skip the 20M-row large-catalog phase")
+    ap.add_argument("--big-vocab", type=int, default=20_000_000)
     args = ap.parse_args()
 
     value = bench_jax(steps=args.steps)
@@ -274,6 +277,30 @@ def main():
         except Exception:
             vs = None
     zoo, mfu, zoo_vs = (None,) * 3 if args.no_zoo else bench_zoo(steps=60)
+    big = None
+    if not args.no_big_catalog:
+        # HBM-scale demonstration (BASELINE.json north star): 20M-row
+        # item table (5.1 GB f32) trained with O(touched-rows) sparse
+        # updates + streamed full-catalog top-10 (tools/big_table_bench)
+        try:
+            import os
+            import sys
+
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tools import big_table_bench
+
+            tr, sv = big_table_bench.measure(
+                vocab=args.big_vocab, steps=10, quiet=True
+            )
+            big = {
+                "vocab": tr["vocab"], "table_gb": tr["table_gb"],
+                "train_examples_per_s": tr["examples_per_s"],
+                "train_ms_per_step": tr["ms_per_step"],
+                "serve_queries_per_s": sv["queries_per_s"],
+                "serve_tflops": sv["achieved_tflops"],
+            }
+        except Exception:
+            big = None
     print(
         json.dumps(
             {
@@ -296,6 +323,10 @@ def main():
                 # whether HBM bandwidth or the MXU binds at the step's
                 # arithmetic intensity (docs/PERF.md "Roofline")
                 "mfu": mfu,
+                # 20M-row catalog: sparse-AdaGrad training + streamed
+                # full-catalog top-10 (the >single-chip-HBM design,
+                # parallel/big_table.py)
+                "large_catalog": big,
             }
         )
     )

@@ -40,17 +40,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--vocab", type=int, default=20_000_000)
-    ap.add_argument("--dim", type=int, default=64)
-    ap.add_argument("--batch", type=int, default=1024)
-    ap.add_argument("--maxlen", type=int, default=50)
-    ap.add_argument("--negs", type=int, default=512)
-    ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--topk-block", type=int, default=2_097_152)
-    args = ap.parse_args()
+def measure(vocab=20_000_000, dim=64, batch=1024, maxlen=50, negs=512,
+            steps=20, topk_block=2_097_152, quiet=False):
+    """Run both phases; returns [train_dict, serve_dict]."""
+    import types
 
+    args = types.SimpleNamespace(
+        vocab=vocab, dim=dim, batch=batch, maxlen=maxlen, negs=negs,
+        steps=steps, topk_block=topk_block, quiet=quiet,
+    )
     import jax
     import jax.numpy as jnp
     import optax
@@ -148,14 +146,16 @@ def main():
                "hbm_peak_gb": round(ms.get("peak_bytes_in_use", 0) / 2**30, 2)}
     except Exception:
         pass
-    print(json.dumps({
+    train_res = {
         "phase": "train", "vocab": V, "dim": D, "batch": B,
         "table_gb": round(t_bytes / 2**30, 2),
         "ms_per_step": round(best * 1e3, 2),
         "examples_per_s": round(B / best, 1),
         "rows_touched_per_step": B * (L + K),
         "loss": round(float(loss), 4), **mem,
-    }), flush=True)
+    }
+    if not args.quiet:
+        print(json.dumps(train_res), flush=True)
 
     # ---- serving: streamed full-catalog top-10 --------------------
     @functools.partial(jax.jit, static_argnames=("k", "block_size"))
@@ -171,13 +171,31 @@ def main():
         v_, i_ = serve(state.table, q, k=10, block_size=args.topk_block)
         v_.block_until_ready()
         best = min(best, time.perf_counter() - t0)
-    print(json.dumps({
+    serve_res = {
         "phase": "serve_full_catalog_top10", "vocab": V, "batch": B,
         "ms_per_batch": round(best * 1e3, 2),
         "queries_per_s": round(B / best, 1),
         "score_flops": 2 * B * V * D,
         "achieved_tflops": round(2 * B * V * D / best / 1e12, 2),
-    }), flush=True)
+    }
+    if not args.quiet:
+        print(json.dumps(serve_res), flush=True)
+    return [train_res, serve_res]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vocab", type=int, default=20_000_000)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--maxlen", type=int, default=50)
+    ap.add_argument("--negs", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--topk-block", type=int, default=2_097_152)
+    args = ap.parse_args()
+    measure(vocab=args.vocab, dim=args.dim, batch=args.batch,
+            maxlen=args.maxlen, negs=args.negs, steps=args.steps,
+            topk_block=args.topk_block)
 
 
 if __name__ == "__main__":
