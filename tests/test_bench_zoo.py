@@ -50,3 +50,9 @@ def test_sasrec_serve_bench_runs_on_cpu():
     ds = tpu_bench._dataset()
     ms, _, bsz = tpu_bench.bench_sasrec_serve(ds, steps=2)
     assert ms > 0 and bsz == 1024
+    # the roofline accounting must have filled from the compiled HLO
+    # (bench.py copies it into the driver JSON's "mfu" dict)
+    lc = tpu_bench.LAST_COST
+    assert lc.get("flops_per_step", 0) > 0, lc
+    assert lc.get("bound") in ("hbm", "mxu")
+    assert 0 < lc.get("pct_of_roofline", 0)
