@@ -480,51 +480,80 @@ class Coach:
 
     def _device_train_epoch(self, epoch: int) -> None:
         """Hot loop for on-device samplers (data/device.py): sampling is
-        folded INTO the jitted step — the host only issues
-        steps_per_epoch scalar-argument dispatches."""
+        folded INTO the jitted step, and steps are SCAN-CHUNKED so the
+        host dispatches ceil(S/W) programs per epoch instead of S.
+
+        Per-step dispatch was the wall at reference scale: the jitted
+        SASRec step is ~3 ms but each dispatch costs tens of ms of
+        host+tunnel overhead, and roll-window samplers run hundreds of
+        steps per epoch. Chunking is numerics-IDENTICAL to the per-step
+        loop: the scan body computes the same sample(epoch_key, i) and
+        fold_in(base_rng, state.step) per step — pinned by
+        tests/test_device_pipes.py chunk-equivalence."""
         sampler = self.trainpipe
         if self.state is None:
             first = jax.tree.map(
                 np.asarray, sampler.sample(sampler.epoch_key(), 0)
             )
             self._init_state({f: jnp.asarray(v) for f, v in first.items()})
-        key = ("device_step",)
-        if key not in self._jit_cache:
 
-            has_stats = bool(jax.tree.leaves(self.state.stats))
-            self._check_stats_override(has_stats)
+        has_stats = bool(jax.tree.leaves(self.state.stats))
 
-            def step(state, epoch_key, step_idx, base_rng):
-                batch = sampler.sample(epoch_key, step_idx)
-                # derive the step rng ON DEVICE — a host-side split per
-                # step would serialize on the dispatch round-trip
-                rng = jax.random.fold_in(base_rng, state.step)
-                loss, _, new_stats, grads = self._loss_and_grad(
-                    state.params, state.stats, batch, rng, has_stats
-                )
-                updates, opt_state = self.optimizer.update(
-                    grads, state.opt_state, state.params
-                )
-                params = optax.apply_updates(state.params, updates)
-                return (
-                    TrainState(params, opt_state, state.step + 1, new_stats),
-                    loss,
-                )
+        def _chunk_fn(width: int):
+            key = ("device_chunk", width)
+            if key not in self._jit_cache:
+                self._check_stats_override(has_stats)
 
-            self._jit_cache[key] = jax.jit(step, donate_argnums=0)
-        step_fn = self._jit_cache[key]
+                def body(carry, step_idx):
+                    state, epoch_key, base_rng = carry
+                    batch = sampler.sample(epoch_key, step_idx)
+                    # step rng derived ON DEVICE — a host-side split
+                    # per step would serialize on the dispatch
+                    rng = jax.random.fold_in(base_rng, state.step)
+                    loss, _, new_stats, grads = self._loss_and_grad(
+                        state.params, state.stats, batch, rng, has_stats
+                    )
+                    updates, opt_state = self.optimizer.update(
+                        grads, state.opt_state, state.params
+                    )
+                    params = optax.apply_updates(state.params, updates)
+                    return (
+                        TrainState(params, opt_state, state.step + 1, new_stats),
+                        epoch_key, base_rng,
+                    ), loss
+
+                def chunk(state, epoch_key, i0, base_rng):
+                    (state, _, _), losses = jax.lax.scan(
+                        body, (state, epoch_key, base_rng),
+                        i0 + jnp.arange(width, dtype=jnp.int32),
+                    )
+                    return state, losses
+
+                self._jit_cache[key] = jax.jit(chunk, donate_argnums=0)
+            return self._jit_cache[key]
+
+        S = sampler.steps_per_epoch
+        W = min(S, int(self.cfg.get("device_steps_per_dispatch") or 32))
         epoch_key = sampler.epoch_key()
         B = sampler.batch_size
         self._rng, base_rng = jax.random.split(self._rng)
         losses = []
-        for i in range(sampler.steps_per_epoch):
-            self.state, loss = step_fn(
+        i = 0
+        full = _chunk_fn(W)
+        while i + W <= S:
+            self.state, chunk_losses = full(
                 self.state, epoch_key, jnp.asarray(i, jnp.int32), base_rng
             )
-            losses.append(loss)
+            losses.append(chunk_losses)
+            i += W
+        if i < S:  # remainder chunk (its own one-time compile)
+            self.state, chunk_losses = _chunk_fn(S - i)(
+                self.state, epoch_key, jnp.asarray(i, jnp.int32), base_rng
+            )
+            losses.append(chunk_losses)
         # ONE device→host transfer for the whole epoch's losses — per-loss
         # float() would pay a dispatch round-trip each
-        for loss in np.asarray(jnp.stack(losses)):
+        for loss in np.asarray(jnp.concatenate(losses)):
             self.monitor(
                 float(loss), n=B, reduction="mean", mode="train", pool=["LOSS"]
             )

@@ -71,6 +71,10 @@ CORE_DEFAULTS: Dict[str, Any] = dict(
     param_dtype="float32",
     compute_dtype="float32",  # flip to bfloat16 for large runs
     on_device_sampling=False,  # sample negatives inside the jitted step
+    # scan-chunk width for on-device epochs: steps per host dispatch
+    # (per-step dispatch costs tens of ms of host+tunnel overhead at
+    # reference scale; numerics are identical at any width)
+    device_steps_per_dispatch=32,
     checkpoint_freq=1,
     log_path="./logs",
     checkpoint_path="./infos",

@@ -90,6 +90,50 @@ def test_coach_with_device_sampler(tiny_dataset, tmp_path):
     assert "NDCG@10" in summary
 
 
+def test_device_epoch_chunk_width_is_numerics_invariant(tiny_dataset, tmp_path):
+    """Scan-chunked device epochs (coach._device_train_epoch) must be
+    bit-identical at ANY dispatch width: W=1 (the old per-step loop),
+    W=3 (full chunks + a remainder chunk with its own compile), and
+    W>=S (one dispatch per epoch) all replay the same
+    sample(epoch_key, i) / fold_in(base_rng, step) streams."""
+    from recboard_tpu.data.device import DeviceSeqSampler
+    from recboard_tpu.launcher import Coach
+    from recboard_tpu.models.zoo import SASRec
+    from recboard_tpu.parser import Parser
+
+    def run(width):
+        model = SASRec(tiny_dataset, maxlen=8, embedding_dim=16,
+                       num_blocks=1, dropout_rate=0.0)
+        sampler = DeviceSeqSampler(tiny_dataset, maxlen=8, batch_size=16)
+        p = Parser()
+        p.set_defaults(
+            description="SASRec", root="x", dataset="tiny", epochs=2,
+            batch_size=16, lr=1e-2, eval_freq=5, log2file=False,
+            log2console=False, log_path=str(tmp_path / f"l{width}"),
+            checkpoint_path=str(tmp_path / f"i{width}"),
+            monitors=["LOSS"], which4best="LOSS", seed=0,
+            device_steps_per_dispatch=width,
+        )
+        coach = Coach(
+            dataset=tiny_dataset, trainpipe=sampler, validpipe=None,
+            testpipe=None, model=model, cfg=p.compile([]),
+        )
+        for epoch in range(2):
+            coach.train(epoch)
+        return (jax.tree.map(np.asarray, coach.state.params),
+                [h["LOSS"] for h in coach.history["train"]])
+
+    p1, l1 = run(1)
+    p3, l3 = run(3)
+    pbig, lbig = run(64)
+    np.testing.assert_allclose(l1, l3, rtol=0, atol=0)
+    np.testing.assert_allclose(l1, lbig, rtol=0, atol=0)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p3)):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pbig)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_device_time_seq_sampler_hstu(tiny_dataset, tmp_path):
     from recboard_tpu.data.device import DeviceTimeSeqSampler
     from recboard_tpu.launcher import Coach
