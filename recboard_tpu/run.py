@@ -283,6 +283,17 @@ def build_pipes(model, cfg):
                 batch_size=int(cfg.batch_size),
                 num_pads=model.NUM_PADS,
             )
+        elif type(model).__name__ == "HSTU":
+            from .data.device import DeviceTimeSeqSampler
+
+            # time-aware windows (HSTU/sampler.py); negatives are drawn
+            # in-model from the sampling rng stream
+            trainpipe = DeviceTimeSeqSampler(
+                model.dataset,
+                maxlen=int(cfg.maxlen),
+                batch_size=int(cfg.batch_size),
+                num_pads=model.NUM_PADS,
+            )
         elif getattr(model, "ZOO_NAME", None) in (
             "STAMP", "FMLP-Rec", "BSARec", "FPMC",  # roll source capped
             "GRU4Rec", "NARM", "GLINT-RU",          # lprune_ after yield
