@@ -40,7 +40,16 @@ __all__ = [
 
 class _DeviceSamplerBase:
     """Marker base the Coach recognizes; exposes steps_per_epoch and a
-    jit-traceable `sample(epoch_key, step_idx) -> batch`."""
+    jit-traceable `sample(epoch_key, step_idx) -> batch`.
+
+    Samplers that shuffle an index space split the work into
+    ``prepare(epoch_key)`` (the epoch permutation — a DEVICE SORT of
+    #users/#windows keys, 20-150k elements at Beauty scale) and
+    ``sample_prepared(prep, epoch_key, step_idx)``. The Coach's
+    scan-chunked epoch calls prepare once per CHUNK instead of once
+    per step — recomputing a 133k-element sort every step was ~90% of
+    the observed XL epoch wall. ``sample`` composes the two for
+    one-shot callers; the draw streams are identical either way."""
 
     is_device_sampler = True
 
@@ -56,6 +65,18 @@ class _DeviceSamplerBase:
         return jax.random.fold_in(
             jax.random.PRNGKey(getattr(self, "seed", 0)),
             getattr(self, "epoch", 0),
+        )
+
+    def prepare(self, epoch_key):
+        """Per-epoch constants (e.g. the shuffle permutation)."""
+        return None
+
+    def sample_prepared(self, prep, epoch_key, step_idx):
+        raise NotImplementedError
+
+    def sample(self, epoch_key, step_idx):
+        return self.sample_prepared(
+            self.prepare(epoch_key), epoch_key, step_idx
         )
 
 
@@ -100,10 +121,12 @@ class DeviceSeqSampler(_DeviceSamplerBase):
         self._valid_users = jnp.asarray(valid_users, jnp.int32)
         self.steps_per_epoch = max(1, len(valid_users) // batch_size)
 
-    def sample(self, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
+    def prepare(self, epoch_key):
+        return jax.random.permutation(epoch_key, self._valid_users.shape[0])
+
+    def sample_prepared(self, perm, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
         B, L = self.batch_size, self.maxlen
         n = self._valid_users.shape[0]
-        perm = jax.random.permutation(epoch_key, n)
         # modular gather instead of dynamic_slice: works when B > n
         rows = perm[(step_idx * B + jnp.arange(B)) % n]
         users = self._valid_users[rows]
@@ -157,10 +180,9 @@ class DeviceTimeSeqSampler(DeviceSeqSampler):
                 packed_t[u, W - len(tail):] = np.asarray(tail) - t0
         self._packed_t = jnp.asarray(packed_t)
 
-    def sample(self, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
+    def sample_prepared(self, perm, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
         B, L = self.batch_size, self.maxlen
         n = self._valid_users.shape[0]
-        perm = jax.random.permutation(epoch_key, n)
         # modular gather instead of dynamic_slice: works when B > n
         rows = perm[(step_idx * B + jnp.arange(B)) % n]
         users = self._valid_users[rows]
@@ -257,11 +279,13 @@ class DeviceRollSeqSampler(_DeviceSamplerBase):
         self.num_windows = len(pairs)
         self.steps_per_epoch = max(1, self.num_windows // batch_size)
 
-    def sample(self, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
+    def prepare(self, epoch_key):
+        return jax.random.permutation(epoch_key, self._pairs.shape[0])
+
+    def sample_prepared(self, perm, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
         B, L = self.batch_size, self.maxlen
         eff = L - 1 if self.window_includes_target else L
         W = self._pairs.shape[0]
-        perm = jax.random.permutation(epoch_key, W)
         take = perm[(step_idx * B + jnp.arange(B)) % W]
         pairs = self._pairs[take]  # (B, 2) = (user, end)
         users, ends = pairs[:, 0], pairs[:, 1]
@@ -349,10 +373,12 @@ class DeviceFullSeqSampler(_DeviceSamplerBase):
         self._valid_users = jnp.asarray(valid_users, jnp.int32)
         self.steps_per_epoch = max(1, len(valid_users) // batch_size)
 
-    def sample(self, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
+    def prepare(self, epoch_key):
+        return jax.random.permutation(epoch_key, self._valid_users.shape[0])
+
+    def sample_prepared(self, perm, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
         B, L = self.batch_size, self.maxlen
         n = self._valid_users.shape[0]
-        perm = jax.random.permutation(epoch_key, n)
         # modular gather instead of dynamic_slice: works when B > n
         rows = perm[(step_idx * B + jnp.arange(B)) % n]
         users = self._valid_users[rows]
@@ -429,10 +455,12 @@ class DevicePairSampler(_DeviceSamplerBase):
         self.num_pairs = len(pair_u)
         self.steps_per_epoch = max(1, self.num_pairs // batch_size)
 
-    def sample(self, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
+    def prepare(self, epoch_key):
+        return jax.random.permutation(epoch_key, self._pair_u.shape[0])
+
+    def sample_prepared(self, perm, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
         B, K = self.batch_size, self.num_negatives
         E = self._pair_u.shape[0]
-        perm = jax.random.permutation(epoch_key, E)
         take = perm[(step_idx * B + jnp.arange(B)) % E]
         users = self._pair_u[take]
         pos = self._pair_i[take][:, None]  # (B, 1)
@@ -491,7 +519,7 @@ class DeviceGenSampler(_DeviceSamplerBase):
         self._counts = jnp.asarray(np.maximum(counts, 1))
         self.steps_per_epoch = max(1, User.count // batch_size)
 
-    def sample(self, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
+    def sample_prepared(self, prep, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
         B, K = self.batch_size, self.num_negatives
         key = jax.random.fold_in(epoch_key, step_idx)
         users = jax.random.randint(

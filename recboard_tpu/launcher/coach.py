@@ -505,8 +505,8 @@ class Coach:
                 self._check_stats_override(has_stats)
 
                 def body(carry, step_idx):
-                    state, epoch_key, base_rng = carry
-                    batch = sampler.sample(epoch_key, step_idx)
+                    state, prep, epoch_key, base_rng = carry
+                    batch = sampler.sample_prepared(prep, epoch_key, step_idx)
                     # step rng derived ON DEVICE — a host-side split
                     # per step would serialize on the dispatch
                     rng = jax.random.fold_in(base_rng, state.step)
@@ -519,12 +519,15 @@ class Coach:
                     params = optax.apply_updates(state.params, updates)
                     return (
                         TrainState(params, opt_state, state.step + 1, new_stats),
-                        epoch_key, base_rng,
+                        prep, epoch_key, base_rng,
                     ), loss
 
                 def chunk(state, epoch_key, i0, base_rng):
-                    (state, _, _), losses = jax.lax.scan(
-                        body, (state, epoch_key, base_rng),
+                    # epoch permutation (a 20-150k-key device sort at
+                    # Beauty scale) computed ONCE per chunk, not per step
+                    prep = sampler.prepare(epoch_key)
+                    (state, _, _, _), losses = jax.lax.scan(
+                        body, (state, prep, epoch_key, base_rng),
                         i0 + jnp.arange(width, dtype=jnp.int32),
                     )
                     return state, losses
