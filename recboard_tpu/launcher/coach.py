@@ -811,6 +811,19 @@ class Coach:
 
     # -------------------------------------------------------- persistence
     def _state_dict(self) -> Dict[str, Any]:
+        # start every leaf's device→host DMA first so the transfers
+        # overlap; the per-leaf np.asarray below then mostly waits on
+        # in-flight copies instead of serializing them (the fetch is
+        # the checkpoint's train-loop cost — ~10 MB/epoch at Beauty
+        # scale rides the TPU tunnel). Still fully synchronous before
+        # return: the next train step DONATES these buffers.
+        tree = (self.state.params, self.state.opt_state, self.state.stats)
+        for leaf in jax.tree.leaves(tree):
+            if hasattr(leaf, "copy_to_host_async"):
+                try:
+                    leaf.copy_to_host_async()
+                except Exception:
+                    pass
         return {
             "params": jax.tree.map(np.asarray, self.state.params),
             "opt_state": jax.tree.map(np.asarray, self.state.opt_state),
