@@ -30,6 +30,7 @@ def generate_interactions(
     markov_strength: float = 0.5,
     group_strength: float = 0.35,
     num_groups: int = 6,
+    group_markov: bool = False,
 ):
     """Zipf popularity + user-group affinity + a planted item-transition
     graph.
@@ -39,7 +40,16 @@ def generate_interactions(
     else with prob `group_strength/(1-markov)` draw from the user's
     item group (matrix-factorization models learn this); else a global
     popularity draw.
-    """
+
+    ``group_markov=True`` permutes successors WITHIN each item group
+    instead of globally. With a global permutation, LOU test targets
+    that are markov draws sit 2 hops from anything in the user's train
+    set (the valid item is 1 hop), which no co-occurrence/CF model can
+    see — measured on the Beauty-scale store: MF-BPR valid NDCG@10
+    0.024 vs test 0.003 at symmetric target statistics. Real purchase
+    transitions are category-local, and in-group successors keep the
+    markov share CF-visible at any hop while sequential models still
+    win by learning the exact successor."""
     rng = np.random.default_rng(seed)
     pop = 1.0 / np.arange(1, num_items + 1) ** 0.8
     pop /= pop.sum()
@@ -47,6 +57,13 @@ def generate_interactions(
     item_group = rng.integers(0, num_groups, size=num_items)
     group_items = [np.flatnonzero(item_group == g) for g in range(num_groups)]
     user_group = rng.integers(0, num_groups, size=num_users)
+    if group_markov:
+        # extra draws AFTER the base ones: group_markov=False datasets
+        # stay bit-identical to pre-flag builds
+        successor = np.arange(num_items)
+        for idx in group_items:
+            if len(idx):
+                successor[idx] = rng.permutation(idx)
 
     users, items, timestamps = [], [], []
     for u in range(num_users):
@@ -82,13 +99,14 @@ def make_synthetic_dataset(
     markov_strength: float = 0.5,
     group_strength: float = 0.35,
     num_groups: int = 6,
+    group_markov: bool = False,
     kcore4user: int = 3,
     kcore4item: int = 1,
     splitting: str = "LOU",
 ) -> str:
     users, items, ts = generate_interactions(
         num_users, num_items, avg_len, seed, markov_strength,
-        group_strength, num_groups,
+        group_strength, num_groups, group_markov,
     )
     ratings = np.full(len(users), 5.0, dtype=np.float32)
     return preprocessing.make_dataset(

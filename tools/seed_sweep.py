@@ -432,6 +432,14 @@ def main():
                          "(6 suits a 300-item store; a Beauty-scale "
                          "12k-item catalog wants ~96 so the group "
                          "signal stays learnable at ~126 items/group)")
+    ap.add_argument("--group-markov", action="store_true",
+                    help="permute successors WITHIN item groups "
+                         "(category-local transitions). Required for "
+                         "fair CF-family scores at big catalogs: a "
+                         "GLOBAL successor permutation puts LOU test "
+                         "targets 2 markov hops from the train set — "
+                         "invisible to co-occurrence models (measured: "
+                         "MF valid 0.024 vs test 0.003 NDCG@10)")
     ap.add_argument("--splitting", default="LOU", choices=("LOU", "ROU"),
                     help="second store datasets: e.g. --dataset "
                          "SynYelp_000_ROU --splitting ROU "
@@ -483,6 +491,7 @@ def main():
             markov_strength=args.markov_strength,
             group_strength=args.group_strength,
             num_groups=args.num_groups,
+            group_markov=args.group_markov,
             splitting=args.splitting,
         )
     ds = NextItemRecDataSet(args.root, args.dataset)
@@ -524,6 +533,7 @@ def main():
                 f"--group-strength {args.group_strength} "
                 f"--num-users {args.num_users} --num-items {args.num_items} "
                 f"--avg-len {args.avg_len} --num-groups {args.num_groups}"
+                + (" --group-markov" if args.group_markov else "")
             ),
             description=(
                 f"synthetic planted-structure dataset (markov "
