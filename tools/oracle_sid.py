@@ -38,6 +38,11 @@ SYN_BUILDS = {
     "SynYelp_000_ROU": dict(num_users=800, num_items=300, avg_len=14.0,
                             seed=7, markov_strength=0.1,
                             group_strength=0.75, num_groups=6),
+    # the Beauty-scale store (r4): group-local markov transitions
+    "SynBeautyXL_000_LOU": dict(num_users=22363, num_items=12101,
+                                avg_len=8.9, seed=7, markov_strength=0.45,
+                                group_strength=0.45, num_groups=96,
+                                group_markov=True),
 }
 
 
@@ -54,20 +59,30 @@ def planted_structure(dataset: str, root: str):
     from recboard_tpu.data.preprocessing import kcore_filter, reindex
 
     build = SYN_BUILDS[dataset]
+    group_markov = bool(build.get("group_markov", False))
     users, items, ts = synthetic.generate_interactions(
         num_users=build["num_users"], num_items=build["num_items"],
         avg_len=build["avg_len"], seed=build["seed"],
         markov_strength=build["markov_strength"],
         group_strength=build["group_strength"],
         num_groups=build["num_groups"],
+        group_markov=group_markov,
     )
     # the generator's planted tables (same rng consumption order as
-    # generate_interactions: pop → successor → item_group)
+    # generate_interactions: pop → successor → item_group → user_group
+    # [→ per-group successor permutations when group_markov])
     rng = np.random.default_rng(build["seed"])
     _ = 1.0 / np.arange(1, build["num_items"] + 1) ** 0.8
     successor_raw = rng.permutation(build["num_items"])
     item_group_raw = rng.integers(0, build["num_groups"],
                                   size=build["num_items"])
+    if group_markov:
+        _ = rng.integers(0, build["num_groups"], size=build["num_users"])
+        successor_raw = np.arange(build["num_items"])
+        for g in range(build["num_groups"]):
+            idx = np.flatnonzero(item_group_raw == g)
+            if len(idx):
+                successor_raw[idx] = rng.permutation(idx)
 
     extra = {"ts": ts}
     users, items, extra = kcore_filter(users, items, 3, 1, extra)
@@ -193,6 +208,9 @@ def main():
             "--sid_vocab_file", f"oracle_{args.scheme}_sid_vocab.json",
             "--epochs", str(args.epochs), "--lr", str(args.lr),
             "--batch-size", "128", "--eval-freq", "3",
+            # TPU runs: sample on device and checkpoint coarsely — the
+            # per-epoch fetch was the sweep wall (docs/PERF.md)
+            "--on-device-sampling", "true", "--checkpoint-freq", "50",
             "--maxlen", "20", "--num_beams", "10",
             "--embedding_dim", str(args.embedding_dim),
             "--num_heads", "2",
