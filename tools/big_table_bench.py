@@ -97,10 +97,16 @@ def measure(vocab=20_000_000, dim=64, batch=1024, maxlen=50, negs=512,
 
     t_bytes = state.table.nbytes + state.acc.nbytes
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(state, dense, opt, ids_seq, ids_neg):
-        rows_seq = state.table[ids_seq]  # (B, L, D)
-        rows_neg = state.table[ids_neg]  # (B, K, D)
+    # TWO programs, not one: a single jitted program that GATHERS from
+    # the table and later SCATTERS into it forces the compiler to keep
+    # two table-sized buffers live (measured: 17.8 GB assignment for a
+    # 5.1 GB table at V=20M — compile-time OOM on a 16 GB chip). With
+    # the gather+grad program reading the table (no donation) and a
+    # separate donated update program, each aliases in place.
+    @jax.jit
+    def grad_step(table, dense, ids_seq, ids_neg):
+        rows_seq = table[ids_seq]  # (B, L, D)
+        rows_neg = table[ids_neg]  # (B, K, D)
 
         def loss_fn(dense, rows_seq, rows_neg):
             h = tower.apply(dense, rows_seq)
@@ -118,25 +124,39 @@ def measure(vocab=20_000_000, dim=64, batch=1024, maxlen=50, negs=512,
         loss, (g_dense, g_seq, g_neg) = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2)
         )(dense, rows_seq, rows_neg)
-        ids = jnp.concatenate([ids_seq.reshape(-1), ids_neg.reshape(-1)])
         grads = jnp.concatenate(
             [g_seq.reshape(-1, D), g_neg.reshape(-1, D)]
         )
-        state = apply_row_grads(state, ids, grads, lr=0.05)
+        return loss, g_dense, grads
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("lr",))
+    def update_table(state, ids, grads, lr):
+        return apply_row_grads(state, ids, grads, lr=lr)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def update_dense(dense, opt, g_dense):
         up, opt = tx.update(g_dense, opt, dense)
-        return state, optax.apply_updates(dense, up), opt, loss
+        return optax.apply_updates(dense, up), opt
 
     rng = np.random.default_rng(0)
     ids_seq = jnp.asarray(rng.integers(0, V, (B, L)), jnp.int32)
     ids_neg = jnp.asarray(rng.integers(0, V, (B, K)), jnp.int32)
+    ids_all = jnp.concatenate([ids_seq.reshape(-1), ids_neg.reshape(-1)])
 
-    state, dense, opt, loss = step(state, dense, opt, ids_seq, ids_neg)
+    def step():
+        nonlocal state, dense, opt
+        loss, g_dense, grads = grad_step(state.table, dense, ids_seq, ids_neg)
+        state = update_table(state, ids_all, grads, lr=0.05)
+        dense, opt = update_dense(dense, opt, g_dense)
+        return loss
+
+    loss = step()
     loss.block_until_ready()
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            state, dense, opt, loss = step(state, dense, opt, ids_seq, ids_neg)
+            loss = step()
         loss.block_until_ready()
         best = min(best, (time.perf_counter() - t0) / args.steps)
     mem = {}
@@ -158,6 +178,11 @@ def measure(vocab=20_000_000, dim=64, batch=1024, maxlen=50, negs=512,
         print(json.dumps(train_res), flush=True)
 
     # ---- serving: streamed full-catalog top-10 --------------------
+    if V % args.topk_block and V % 10 == 0:
+        # pick a block that divides V: blocked_top_k pads the tail
+        # block by COPYING the table (another 5 GB at V=20M)
+        args.topk_block = V // 10
+
     @functools.partial(jax.jit, static_argnames=("k", "block_size"))
     def serve(table, q, k, block_size):
         return blocked_top_k(q, table, k=k, block_size=block_size)
