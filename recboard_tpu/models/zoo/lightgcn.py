@@ -32,6 +32,13 @@ class LightGCN(GenRecArch):
     num_layers: int = 3
     weight_decay: float = 1e-4  # folded into the loss, not the optimizer
     adj: Optional[SparseAdj] = None
+    # custom-VJP SpMM whose backward runs the pre-sorted transpose
+    # segment-sum (graph.py spmm_const). Measured -8% on the v5e at
+    # the 196k-nnz bench graph (12.9 vs 11.9 ms/step — TPU scatter
+    # variants tie, CLAUDE.md scatter_probe), so OFF by default;
+    # kept as an opt-in for graphs where the unsorted backward
+    # scatter dominates (very high-degree skew).
+    spmm_const: bool = False
 
     def setup(self):
         init = nn.initializers.normal(stddev=1e-4)
@@ -65,10 +72,7 @@ class LightGCN(GenRecArch):
         avg = all_embds / (self.num_layers + 1)
         x = all_embds
         for _ in range(self.num_layers):
-            # fixed train-split adjacency → custom-VJP SpMM whose
-            # backward is the pre-sorted transpose segment-sum instead
-            # of an unsorted scatter-add (graph.py spmm_const)
-            x = adj.spmm_const(x)
+            x = adj.spmm_const(x) if self.spmm_const else adj @ x
             avg = avg + x / (self.num_layers + 1)
         return avg[: self.User.count], avg[self.User.count :]
 
