@@ -128,8 +128,20 @@ def _measure(model, batch, steps, rngs_extra=()):
         return params, opt, losses[-1]
 
     p, o = params, tx.init(params)
-    try:  # lower BEFORE the first call — donated buffers die after it
-        compiled = run_chunk.lower(p, o, jnp.int32(0)).compile()
+    # cost-analyze ONE step, not the scanned chunk: TPU cost analysis
+    # does not scale the scan body by trip count (measured ~16x flop
+    # under-count at 60-step chunks), so lower a single-step program —
+    # from shape structs, because the real buffers get donated below.
+    try:
+        structs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), (p, o)
+        )
+
+        def one_step(params, opt):
+            (params, opt), loss = step((params, opt), jnp.int32(0))
+            return params, opt, loss
+
+        compiled = jax.jit(one_step).lower(*structs).compile()
     except Exception:
         compiled = None
     p, o, loss = run_chunk(p, o, jnp.int32(0))
@@ -142,7 +154,7 @@ def _measure(model, batch, steps, rngs_extra=()):
         best = min(best, (time.perf_counter() - t0) / steps)
     LAST_COST.clear()
     if compiled is not None:  # post-fusion flops/bytes → roofline
-        LAST_COST.update(_cost_analysis(compiled, steps, best))
+        LAST_COST.update(_cost_analysis(compiled, 1, best))
     return best, float(loss)
 
 
@@ -340,9 +352,15 @@ def bench_tiger_serve(ds, steps):
         run_chunk(xs).block_until_ready()
         best = min(best, (time.perf_counter() - t0) / steps)
     LAST_COST.clear()
-    try:
+    try:  # single-call program for cost (scan bodies under-count)
+        one = jax.jit(
+            lambda x: model.apply(
+                {"params": params}, {model.ISeq: x},
+                method="recommend_from_full",
+            )
+        )
         LAST_COST.update(
-            _cost_analysis(run_chunk.lower(xs).compile(), steps, best)
+            _cost_analysis(one.lower(batch[model.ISeq]).compile(), 1, best)
         )
     except Exception:
         pass
@@ -430,9 +448,16 @@ def bench_sasrec_serve(ds, steps):
         run_chunk(xs).block_until_ready()
         best = min(best, (time.perf_counter() - t0) / steps)
     LAST_COST.clear()
-    try:
+    try:  # single-call program for cost (scan bodies under-count)
+        def one(x):
+            scores = model.apply(
+                {"params": params}, {model.ISeq: x},
+                method="recommend_from_full",
+            )
+            return jax.lax.top_k(scores, 10)
+
         LAST_COST.update(
-            _cost_analysis(run_chunk.lower(xs).compile(), steps, best)
+            _cost_analysis(jax.jit(one).lower(seqs).compile(), 1, best)
         )
     except Exception:
         pass
