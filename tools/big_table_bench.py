@@ -41,7 +41,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(vocab=20_000_000, dim=64, batch=1024, maxlen=50, negs=512,
-            steps=20, topk_block=2_097_152, quiet=False):
+            steps=20, topk_block=131_072, quiet=False):
     """Run both phases; returns [train_dict, serve_dict]."""
     import types
 
@@ -178,10 +178,17 @@ def measure(vocab=20_000_000, dim=64, batch=1024, maxlen=50, negs=512,
         print(json.dumps(train_res), flush=True)
 
     # ---- serving: streamed full-catalog top-10 --------------------
-    if V % args.topk_block and V % 10 == 0:
-        # pick a block that divides V: blocked_top_k pads the tail
-        # block by COPYING the table (another 5 GB at V=20M)
-        args.topk_block = V // 10
+    # block-size choice is a memory knob twice over: the (B, C) score
+    # slab is B*C*4 bytes (C=2M at B=1024 is 8.2 GB — OOM), and a
+    # non-dividing C makes blocked_top_k pad by COPYING the table.
+    # Pick the largest divisor of V at or under the requested block.
+    def _divisor_block(V, target):
+        for c in range(min(target, V), 4095, -1):
+            if V % c == 0:
+                return c
+        return target  # prime-ish V: accept the pad copy
+
+    args.topk_block = _divisor_block(V, args.topk_block)
 
     @functools.partial(jax.jit, static_argnames=("k", "block_size"))
     def serve(table, q, k, block_size):
@@ -216,7 +223,7 @@ def main():
     ap.add_argument("--maxlen", type=int, default=50)
     ap.add_argument("--negs", type=int, default=512)
     ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--topk-block", type=int, default=2_097_152)
+    ap.add_argument("--topk-block", type=int, default=131_072)
     args = ap.parse_args()
     measure(vocab=args.vocab, dim=args.dim, batch=args.batch,
             maxlen=args.maxlen, negs=args.negs, steps=args.steps,
