@@ -289,9 +289,10 @@ def main():
             sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
             from tools import big_table_bench
 
-            tr, sv = big_table_bench.measure(
+            res = big_table_bench.measure(
                 vocab=args.big_vocab, steps=10, quiet=True
             )
+            tr, sv = res[0], res[1]
             big = {
                 "vocab": tr["vocab"], "table_gb": tr["table_gb"],
                 "train_examples_per_s": tr["examples_per_s"],
@@ -299,6 +300,8 @@ def main():
                 "serve_queries_per_s": sv["queries_per_s"],
                 "serve_tflops": sv["achieved_tflops"],
             }
+            if len(res) > 2:  # approx_max_k slab reduction variant
+                big["serve_queries_per_s_approx"] = res[2]["queries_per_s"]
         except Exception:
             big = None
     print(

@@ -133,6 +133,7 @@ def blocked_top_k(
     table: jnp.ndarray,  # (V, D)
     k: int,
     block_size: int = 1_048_576,
+    approx: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full-catalog top-k without materializing (B, V) scores.
 
@@ -141,6 +142,12 @@ def blocked_top_k(
     best. Tie-breaking matches single-shot ``lax.top_k`` (lowest global
     index wins): the running buffer is ordered before the candidate
     block and ``top_k`` prefers earlier positions among equals.
+
+    ``approx=True`` reduces each slab with ``jax.lax.approx_max_k``
+    (the TPU's hardware-friendly MIPS primitive, default recall target
+    0.95 per slab) before the exact candidate merge — measured 20x
+    serving speedup at V=20M where the exact per-slab ``top_k`` merge,
+    not the scoring matmul, dominates (tools/big_table_bench.py).
 
     Returns (values (B, k), indices (B, k)) — indices global over V.
     """
@@ -168,8 +175,20 @@ def blocked_top_k(
         gidx = b * C + jnp.arange(C, dtype=jnp.int32)[None, :]
         if pad:
             s = jnp.where(gidx < V, s, -jnp.inf)
-        cat_v = jnp.concatenate([vals, s], axis=1)
-        cat_i = jnp.concatenate([idx, jnp.broadcast_to(gidx, (B, C))], axis=1)
+        if approx:
+            # slab-level candidate reduction on the TPU sort unit;
+            # the k-candidate merge below stays exact
+            s, local = jax.lax.approx_max_k(s, k)
+            gcand = jnp.take_along_axis(
+                jnp.broadcast_to(gidx, (B, C)), local, axis=1
+            )
+            cat_v = jnp.concatenate([vals, s], axis=1)
+            cat_i = jnp.concatenate([idx, gcand], axis=1)
+        else:
+            cat_v = jnp.concatenate([vals, s], axis=1)
+            cat_i = jnp.concatenate(
+                [idx, jnp.broadcast_to(gidx, (B, C))], axis=1
+            )
         v, pos = jax.lax.top_k(cat_v, k)
         i = jnp.take_along_axis(cat_i, pos, axis=1)
         return (v, i), None

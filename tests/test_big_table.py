@@ -75,6 +75,22 @@ def test_autodiff_boundary_matches_dense_table_grad():
     np.testing.assert_allclose(g_scatter, np.asarray(g_dense), atol=1e-6)
 
 
+def test_blocked_top_k_approx_high_recall():
+    """approx=True (per-slab lax.approx_max_k + exact merge) must keep
+    high recall vs the exact result on well-separated scores."""
+    q = jax.random.normal(jax.random.PRNGKey(11), (8, D))
+    table = jax.random.normal(jax.random.PRNGKey(12), (4096, D))
+    _, exact_i = blocked_top_k(q, table, k=10, block_size=512)
+    _, approx_i = jax.jit(
+        blocked_top_k, static_argnames=("k", "block_size", "approx")
+    )(q, table, k=10, block_size=512, approx=True)
+    hits = np.mean([
+        len(set(a.tolist()) & set(e.tolist())) / 10
+        for a, e in zip(np.asarray(approx_i), np.asarray(exact_i))
+    ])
+    assert hits >= 0.9, f"approx recall {hits}"
+
+
 @pytest.mark.parametrize("vocab,block", [(1000, 256), (512, 512), (513, 128)])
 def test_blocked_top_k_matches_lax_top_k(vocab, block):
     key = jax.random.PRNGKey(3)

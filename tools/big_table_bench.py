@@ -190,29 +190,39 @@ def measure(vocab=20_000_000, dim=64, batch=1024, maxlen=50, negs=512,
 
     args.topk_block = _divisor_block(V, args.topk_block)
 
-    @functools.partial(jax.jit, static_argnames=("k", "block_size"))
-    def serve(table, q, k, block_size):
-        return blocked_top_k(q, table, k=k, block_size=block_size)
+    @functools.partial(
+        jax.jit, static_argnames=("k", "block_size", "approx")
+    )
+    def serve(table, q, k, block_size, approx):
+        return blocked_top_k(q, table, k=k, block_size=block_size,
+                             approx=approx)
 
     q = jax.random.normal(jax.random.PRNGKey(1), (B, D)) * 0.05
-    v_, i_ = serve(state.table, q, k=10, block_size=args.topk_block)
-    v_.block_until_ready()
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        v_, i_ = serve(state.table, q, k=10, block_size=args.topk_block)
+    out = [train_res]
+    for approx in (False, True):
+        v_, i_ = serve(state.table, q, k=10,
+                       block_size=args.topk_block, approx=approx)
         v_.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    serve_res = {
-        "phase": "serve_full_catalog_top10", "vocab": V, "batch": B,
-        "ms_per_batch": round(best * 1e3, 2),
-        "queries_per_s": round(B / best, 1),
-        "score_flops": 2 * B * V * D,
-        "achieved_tflops": round(2 * B * V * D / best / 1e12, 2),
-    }
-    if not args.quiet:
-        print(json.dumps(serve_res), flush=True)
-    return [train_res, serve_res]
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            v_, i_ = serve(state.table, q, k=10,
+                           block_size=args.topk_block, approx=approx)
+            v_.block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        serve_res = {
+            "phase": ("serve_full_catalog_top10_approx" if approx
+                      else "serve_full_catalog_top10"),
+            "vocab": V, "batch": B,
+            "ms_per_batch": round(best * 1e3, 2),
+            "queries_per_s": round(B / best, 1),
+            "score_flops": 2 * B * V * D,
+            "achieved_tflops": round(2 * B * V * D / best / 1e12, 2),
+        }
+        out.append(serve_res)
+        if not args.quiet:
+            print(json.dumps(serve_res), flush=True)
+    return out
 
 
 def main():
