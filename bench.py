@@ -268,6 +268,47 @@ def main():
     ap.add_argument("--big-vocab", type=int, default=20_000_000)
     args = ap.parse_args()
 
+    big = None
+    if not args.no_big_catalog:
+        # HBM-scale demonstration (BASELINE.json north star): 20M-row
+        # item table (5.1 GB f32) trained with O(touched-rows) sparse
+        # updates + streamed full-catalog top-10 (tools/big_table_bench).
+        # Runs in a SUBPROCESS *before* this process touches the TPU:
+        # the axon tunnel is single-client, and sharing the device
+        # context with the zoo benches measured 600x slower steps
+        # (263 ms vs 0.41 ms standalone).
+        try:
+            import os
+            import subprocess
+            import sys
+
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "big_table_bench.py"),
+                 "--vocab", str(args.big_vocab), "--steps", "10"],
+                capture_output=True, text=True, timeout=1200,
+            )
+            rows = [json.loads(ln) for ln in out.stdout.splitlines()
+                    if ln.startswith("{")]
+            tr = next(r for r in rows if r["phase"] == "train")
+            sv = next(r for r in rows
+                      if r["phase"] == "serve_full_catalog_top10")
+            big = {
+                "vocab": tr["vocab"], "table_gb": tr["table_gb"],
+                "train_examples_per_s": tr["examples_per_s"],
+                "train_ms_per_step": tr["ms_per_step"],
+                "serve_queries_per_s": sv["queries_per_s"],
+                "serve_tflops": sv["achieved_tflops"],
+            }
+            ap_row = next(
+                (r for r in rows
+                 if r["phase"] == "serve_full_catalog_top10_approx"), None)
+            if ap_row:
+                big["serve_queries_per_s_approx"] = ap_row["queries_per_s"]
+        except Exception:
+            big = None
+
     value = bench_jax(steps=args.steps)
     vs = None
     if not args.no_torch_baseline:
@@ -277,33 +318,6 @@ def main():
         except Exception:
             vs = None
     zoo, mfu, zoo_vs = (None,) * 3 if args.no_zoo else bench_zoo(steps=60)
-    big = None
-    if not args.no_big_catalog:
-        # HBM-scale demonstration (BASELINE.json north star): 20M-row
-        # item table (5.1 GB f32) trained with O(touched-rows) sparse
-        # updates + streamed full-catalog top-10 (tools/big_table_bench)
-        try:
-            import os
-            import sys
-
-            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-            from tools import big_table_bench
-
-            res = big_table_bench.measure(
-                vocab=args.big_vocab, steps=10, quiet=True
-            )
-            tr, sv = res[0], res[1]
-            big = {
-                "vocab": tr["vocab"], "table_gb": tr["table_gb"],
-                "train_examples_per_s": tr["examples_per_s"],
-                "train_ms_per_step": tr["ms_per_step"],
-                "serve_queries_per_s": sv["queries_per_s"],
-                "serve_tflops": sv["achieved_tflops"],
-            }
-            if len(res) > 2:  # approx_max_k slab reduction variant
-                big["serve_queries_per_s_approx"] = res[2]["queries_per_s"]
-        except Exception:
-            big = None
     print(
         json.dumps(
             {
