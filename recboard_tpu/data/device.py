@@ -225,6 +225,16 @@ class DeviceRollSeqSampler(_DeviceSamplerBase):
     (seq_train_sampling_neg_ semantics); shape (B, 1) for one negative,
     (B, 1, K) otherwise — matching the generator pipe's collation.
 
+    ``num_positives`` = P > 1 switches to the Caser window protocol
+    (Caser/main.py sure_trainpipe: shuffled_roll_seqs_source(minlen=
+    P+1, maxlen=maxlen+P, keep_at_least_itself=False) +
+    seq_train_yielding_pos_(start_idx_for_target=-P,
+    end_idx_for_input=-P) + gen_train_sampling_neg_(K)): the window is
+    capped at maxlen+P, its LAST P items are the positives (B, P), the
+    items before them are the input (≤ maxlen, left-padded), and the
+    negatives collate 2-D (B, K) — gen_* (not seq_*) semantics, which
+    is what Caser's fit concatenates along axis 1.
+
     Measured on a v5e at the Beauty config: TIGER's jitted step is
     1.4 ms but the generator pipe feeds it at 55 ms/step over the
     tunnel — this sampler closes that 40× gap."""
@@ -238,17 +248,22 @@ class DeviceRollSeqSampler(_DeviceSamplerBase):
         num_pads: int = 0,
         pad_value: int = 0,
         num_negatives: int = 0,
+        num_positives: int = 1,
         pad_side: str = "left",
         window_includes_target: bool = True,
         keep_at_least_itself: bool = True,
     ):
         assert pad_side in ("left", "right"), pad_side
+        assert num_positives == 1 or pad_side == "left", (
+            "multi-positive (Caser) windows lpad_ in the reference"
+        )
         self.dataset = dataset
         self.maxlen = maxlen
         self.batch_size = batch_size
         self.num_pads = num_pads
         self.pad_value = pad_value
         self.num_negatives = num_negatives
+        self.num_positives = num_positives
         self.pad_side = pad_side
         self.window_includes_target = window_includes_target
 
@@ -283,27 +298,43 @@ class DeviceRollSeqSampler(_DeviceSamplerBase):
         return jax.random.permutation(epoch_key, self._pairs.shape[0])
 
     def sample_prepared(self, perm, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
-        B, L = self.batch_size, self.maxlen
-        eff = L - 1 if self.window_includes_target else L
+        B, L, P = self.batch_size, self.maxlen, self.num_positives
         W = self._pairs.shape[0]
         take = perm[(step_idx * B + jnp.arange(B)) % W]
         pairs = self._pairs[take]  # (B, 2) = (user, end)
         users, ends = pairs[:, 0], pairs[:, 1]
-        lo = jnp.maximum(ends - 1 - eff, 0)  # first usable input index
-        if self.pad_side == "right":
-            idx = lo[:, None] + jnp.arange(L)[None, :]
-            valid = idx < ends[:, None] - 1
+        if P > 1:
+            # Caser windows: window = seq[max(0, e-L-P):e]; the last P
+            # items are targets, the ≤L before them the (lpad) input
+            idx = ends[:, None] - P - L + jnp.arange(L)[None, :]
+            valid = idx >= 0
+            gathered = self._packed[users[:, None], jnp.clip(idx, 0, None)]
+            iseq = jnp.where(
+                valid, gathered - 1 + self.num_pads, self.pad_value
+            ).astype(jnp.int32)
+            pos_idx = ends[:, None] - P + jnp.arange(P)[None, :]
+            ipos = (
+                self._packed[users[:, None], pos_idx] - 1
+            ).astype(jnp.int32)  # (B, P) raw targets
         else:
-            # items right-aligned into the last min(eff, end-1) slots
-            idx = ends[:, None] - 1 - L + jnp.arange(L)[None, :]
-            valid = (idx >= 0) & (idx >= lo[:, None])
-        gathered = self._packed[users[:, None], jnp.clip(idx, 0, None)]
-        iseq = jnp.where(
-            valid, gathered - 1 + self.num_pads, self.pad_value
-        ).astype(jnp.int32)
-        ipos = (
-            jnp.take_along_axis(self._packed[users], ends[:, None] - 1, axis=1) - 1
-        ).astype(jnp.int32)  # (B, 1) raw target
+            eff = L - 1 if self.window_includes_target else L
+            lo = jnp.maximum(ends - 1 - eff, 0)  # first usable input index
+            if self.pad_side == "right":
+                idx = lo[:, None] + jnp.arange(L)[None, :]
+                valid = idx < ends[:, None] - 1
+            else:
+                # items right-aligned into the last min(eff, end-1) slots
+                idx = ends[:, None] - 1 - L + jnp.arange(L)[None, :]
+                valid = (idx >= 0) & (idx >= lo[:, None])
+            gathered = self._packed[users[:, None], jnp.clip(idx, 0, None)]
+            iseq = jnp.where(
+                valid, gathered - 1 + self.num_pads, self.pad_value
+            ).astype(jnp.int32)
+            ipos = (
+                jnp.take_along_axis(
+                    self._packed[users], ends[:, None] - 1, axis=1
+                ) - 1
+            ).astype(jnp.int32)  # (B, 1) raw target
         batch = {self.User: users, self.ISeq: iseq, self.IPos: ipos}
         if self.num_negatives:
             K = self.num_negatives
@@ -317,7 +348,10 @@ class DeviceRollSeqSampler(_DeviceSamplerBase):
             )
             collide = (negs[..., None] + 1 == hist[:, None, :]).any(-1)
             negs = jnp.where(collide, retry, negs).astype(jnp.int32)
-            batch[self.INeg] = negs if K == 1 else negs[:, None, :]
+            if P > 1:  # gen_train_sampling_neg_ collates 2-D (B, K)
+                batch[self.INeg] = negs
+            else:
+                batch[self.INeg] = negs if K == 1 else negs[:, None, :]
         return batch
 
 

@@ -1053,9 +1053,20 @@ class Coach:
         utils.mkdirs(cfg.LOG_PATH)
         metrics = self.summary()
         metrics["best"] = best_summary
+        # per-run RESOLVED config snapshot — the reference stores the
+        # full params dict with every run (benchmark/.../SASRec.json
+        # runs[*].params), not only at the entry level; a store row must
+        # remain auditable even when later runs of the same entry change
+        # hyperparameters (r4: STOSA/FPMC maxlen drift went undetected
+        # because runs carried config: null)
+        resolved = {
+            k: v
+            for k, v in cfg.items()
+            if isinstance(v, (str, int, float, bool, list, type(None)))
+        }
         record = {
             "id": cfg.id,
-            "params": {"seed": int(cfg.seed), "config": cfg.get("config")},
+            "params": {"seed": int(cfg.seed), "config": resolved},
             "metrics": metrics,
         }
         with open(os.path.join(cfg.LOG_PATH, "results.json"), "w") as fh:
@@ -1068,11 +1079,7 @@ class Coach:
                 cfg.dataset,
                 cfg.description,
                 record,
-                config={
-                    k: v
-                    for k, v in cfg.items()
-                    if isinstance(v, (str, int, float, bool, list, type(None)))
-                },
+                config=resolved,
                 tags=list(cfg.get("tags", [])),
                 description=cfg.description,
             )

@@ -294,6 +294,21 @@ def build_pipes(model, cfg):
                 batch_size=int(cfg.batch_size),
                 num_pads=model.NUM_PADS,
             )
+        elif getattr(model, "ZOO_NAME", None) == "Caser":
+            # Caser windows (Caser/main.py:35 + sure_trainpipe): the
+            # roll window caps at maxlen+num_poss, its last num_poss
+            # items are the positives, num_negs gen_-style negatives
+            trainpipe = DeviceRollSeqSampler(
+                model.dataset,
+                maxlen=int(cfg.maxlen),
+                batch_size=int(cfg.batch_size),
+                minlen=int(model.num_poss) + 1,
+                num_pads=model.NUM_PADS,
+                pad_value=model.PADDING_VALUE,
+                num_negatives=int(model.num_negs),
+                num_positives=int(model.num_poss),
+                keep_at_least_itself=False,
+            )
         elif getattr(model, "ZOO_NAME", None) in (
             "STAMP", "FMLP-Rec", "BSARec", "FPMC",  # roll source capped
             "GRU4Rec", "NARM", "GLINT-RU",          # lprune_ after yield

@@ -419,3 +419,72 @@ def test_device_full_seq_sampler_rum_pos_negs(tiny_dataset):
     for b in range(16):
         # positive comes from the (windowed) history
         assert pos[b, 0] in list(seqs[users[b]])[-8:]
+
+
+def test_device_roll_sampler_caser_windows(tiny_dataset):
+    """Caser protocol (Caser/main.py sure_trainpipe): window capped at
+    maxlen+num_poss, last num_poss items are the positives (B, P),
+    input = the <=maxlen items before them (lpad), negatives 2-D
+    (B, K) gen_-style."""
+    from recboard_tpu.data.device import DeviceRollSeqSampler
+
+    maxlen, P, K = 5, 3, 3
+    s = DeviceRollSeqSampler(
+        tiny_dataset, maxlen=maxlen, batch_size=16, minlen=P + 1,
+        num_pads=1, pad_value=0, num_negatives=K, num_positives=P,
+        keep_at_least_itself=False,
+    ).set_seed(0)
+    s.set_epoch(0)
+    seqs = tiny_dataset.train().user_seqs()
+    n_windows = sum(max(0, len(q) - P) for q in seqs)
+    assert s.num_windows == n_windows
+    batch = jax.jit(lambda k: s.sample(k, 0))(s.epoch_key())
+    iseq = np.asarray(batch[s.ISeq])
+    ipos = np.asarray(batch[s.IPos])
+    ineg = np.asarray(batch[s.INeg])
+    users = np.asarray(batch[s.User])
+    assert ipos.shape == (16, P) and ineg.shape == (16, K)
+    for b in range(16):
+        seq = list(seqs[users[b]])
+        nz = iseq[b] != 0
+        row = [x - 1 for x in iseq[b][nz]]  # undo NUM_PADS=1
+        # left-padded: zeros form a prefix
+        k = int(nz.sum())
+        assert not nz[:maxlen - k].any()
+        found = False
+        for e in range(P + 1, len(seq) + 1):
+            if (seq[e - P:e] == list(ipos[b])
+                    and seq[max(0, e - P - maxlen):e - P] == row):
+                found = True
+                break
+        assert found, (row, list(ipos[b]), seq)
+
+
+def test_caser_with_device_roll_sampler(tiny_dataset, tmp_path):
+    from recboard_tpu.data.device import DeviceRollSeqSampler
+    from recboard_tpu.launcher import Coach
+    from recboard_tpu.models.zoo import REGISTRY
+    from recboard_tpu.parser import Parser
+
+    Caser = REGISTRY["Caser"]
+    model = Caser(tiny_dataset, maxlen=5, embedding_dim=16, num_vert=2,
+                  num_horiz=4, dropout_rate=0.0)
+    sampler = DeviceRollSeqSampler(
+        tiny_dataset, maxlen=5, batch_size=16,
+        minlen=model.num_poss + 1, num_pads=model.NUM_PADS,
+        pad_value=model.PADDING_VALUE, num_negatives=model.num_negs,
+        num_positives=model.num_poss, keep_at_least_itself=False,
+    )
+    p = Parser()
+    p.set_defaults(description="Caser", root="x", dataset="tiny", epochs=4,
+                   batch_size=16, lr=5e-3, eval_freq=10, log2file=False,
+                   log2console=False, log_path=str(tmp_path / "l"),
+                   checkpoint_path=str(tmp_path / "i"),
+                   monitors=["LOSS"], which4best="LOSS", seed=0)
+    cfg = p.compile([])
+    coach = Coach(dataset=tiny_dataset, trainpipe=sampler, validpipe=None,
+                  testpipe=None, model=model, cfg=cfg)
+    for epoch in range(4):
+        coach.train(epoch)
+    losses = [h["LOSS"] for h in coach.history["train"]]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]

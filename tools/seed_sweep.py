@@ -450,6 +450,13 @@ def main():
     ap.add_argument("--extra", default="",
                     help="comma-separated extra CLI args appended to every "
                          "run (A/B sweeps: --extra=--shared_negs,true)")
+    ap.add_argument("--tag-suffix", default="",
+                    help="extra comma-led tags appended to every recorded "
+                         "entry's tag list (e.g. ',per_row' to store an "
+                         "HSTU negs_mode=per_row entry NEXT TO the "
+                         "reference-parity per_position one instead of "
+                         "topping it up — recorded_seeds matches on the "
+                         "full tag list)")
     ap.add_argument("--no-record", action="store_true",
                     help="skip the benchmark store/leaderboard writes "
                          "(pure A/B comparisons)")
@@ -570,7 +577,8 @@ def main():
         else:
             desc = model
             tags = ([FAMILY.get(model, "Model"), DIM_TAG.get(model, "64")]
-                    + [t for t in EXTRA_TAGS.get(model, "").split(",") if t])
+                    + [t for t in EXTRA_TAGS.get(model, "").split(",") if t]
+                    + [t for t in args.tag_suffix.split(",") if t])
         dataset = args.ctr_dataset if model in CTR_MODELS else args.dataset
         file_ = os.path.join(args.benchmark_root, dataset, f"{desc}.json")
         if not os.path.isfile(file_):
@@ -624,7 +632,8 @@ def main():
                 ] + MODELS.get(model, [])
             else:
                 tag = (FAMILY.get(model, "Model") + ","
-                       + DIM_TAG.get(model, "64") + EXTRA_TAGS.get(model, ""))
+                       + DIM_TAG.get(model, "64") + EXTRA_TAGS.get(model, "")
+                       + args.tag_suffix)
                 argv = [
                     "run", "--model", model, "--root", args.root,
                     "--dataset", args.dataset, "--epochs", str(args.epochs),
