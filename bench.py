@@ -243,8 +243,9 @@ def bench_zoo(steps: int):
             if tpu_bench.LAST_COST:
                 mfu[name] = {
                     k: tpu_bench.LAST_COST[k]
-                    for k in ("achieved_tflops", "mfu_pct", "bound",
-                              "pct_of_roofline")
+                    for k in ("achieved_tflops", "mfu_pct", "flops_dtype",
+                              "bound", "pct_of_roofline",
+                              "hbm_gbps_logical")
                     if k in tpu_bench.LAST_COST
                 }
             base = baselines.get(_TORCH_KEY.get(name, name))

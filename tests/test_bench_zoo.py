@@ -54,5 +54,5 @@ def test_sasrec_serve_bench_runs_on_cpu():
     # (bench.py copies it into the driver JSON's "mfu" dict)
     lc = tpu_bench.LAST_COST
     assert lc.get("flops_per_step", 0) > 0, lc
-    assert lc.get("bound") in ("hbm", "mxu")
-    assert 0 < lc.get("pct_of_roofline", 0)
+    assert lc.get("bound") in ("hbm", "mxu", "fused")
+    assert 0 < lc.get("pct_of_roofline", 0) <= 100
