@@ -321,7 +321,23 @@ class Coach:
         rules = self.model.partition_rules()
         specs = mesh_lib.match_partition_rules(rules, params)
         if int(self.cfg.get("num_model_shards", 1)) > 1:
+            # shape leaves as np arrays: tuple leaves would be flattened
+            # by later jax.tree.map calls over (params, logical)
+            logical = jax.tree.map(
+                lambda p: np.asarray(np.shape(p)), params
+            )
             params = mesh_lib.shard_params(self.mesh, params, specs)
+            # non-dividing vocabs were auto-padded to shard; remember
+            # the logical shapes so cast_compute slices the pad rows
+            # back off before every flax apply (flax validates param
+            # shapes at apply; grads of the slice flow zeros into the
+            # pad rows so masters/moments stay padded and sharded)
+            if any(
+                np.shape(p) != tuple(s)
+                for p, s in zip(jax.tree.leaves(params),
+                                jax.tree.leaves(logical))
+            ):
+                self._logical_shapes = logical
         opt_state = self.optimizer.init(params)
         self.state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32), stats)
         n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
@@ -335,7 +351,22 @@ class Coach:
         optimizer state. Models keep f32 where it matters via
         ``preferred_element_type`` on their scoring einsums. Default
         float32 = reference parity (the reference trains f32 end to
-        end); flip with --compute-dtype bfloat16."""
+        end); flip with --compute-dtype bfloat16.
+
+        Also the unpad seam for auto-padded sharded vocab tables
+        (mesh.shard_params): pad rows are sliced off here so flax's
+        apply-time shape validation always sees the logical shapes."""
+        logical = getattr(self, "_logical_shapes", None)
+        if logical is not None:
+            try:
+                params = jax.tree.map(
+                    lambda p, s: p[: int(s[0])]
+                    if np.ndim(p) >= 1 and np.shape(p) != tuple(s)
+                    else p,
+                    params, logical,
+                )
+            except ValueError:
+                pass  # foreign tree (transplants/crosschecks): no pads
         dt = str(self.cfg.get("compute_dtype", "float32") or "float32")
         if dt in ("float32", "f32"):
             return params
@@ -665,6 +696,14 @@ class Coach:
                     buffers,
                     method=method,
                 )
+                if ranking == "full":
+                    # auto-padded sharded tables (mesh.shard_params)
+                    # produce phantom zero-score columns past the
+                    # catalog; slice back to the logical item count so
+                    # rank metrics never see them
+                    count = model.Item.count
+                    if scores.shape[-1] > count:
+                        scores = scores[..., :count]
                 if ranking == "full" and self.remove_seen and seen_ids is not None:
                     B = scores.shape[0]
                     rows = jnp.arange(B)[:, None]

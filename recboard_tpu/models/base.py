@@ -146,8 +146,13 @@ class RecSysArch(nn.Module):
         replicates the rest (parallel/mesh.match_partition_rules)."""
         from jax.sharding import PartitionSpec
 
+        # only true nn.Embed tables (leaf param 'embedding'): a Dense
+        # kernel inside an embeddings-named module (DeepFM's continuous
+        # Price field: embeddings_Price/kernel, shape (1, D)) is a
+        # projection, not a vocab — row-sharding it is meaningless and
+        # r4's broader r"embeddings" rule made the dryrun warn about it
         return [
-            (r"embeddings", PartitionSpec("model", None)),
+            (r"embeddings.*embedding$", PartitionSpec("model", None)),
         ]
 
     # ---------------------------------------------------------- pipes

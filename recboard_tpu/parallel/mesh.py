@@ -78,29 +78,61 @@ def match_partition_rules(
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
-def shard_params(mesh: Mesh, params: Any, specs: Any) -> Any:
+def shard_params(mesh: Mesh, params: Any, specs: Any,
+                 auto_pad: bool = True) -> Any:
     """Place a host pytree onto the mesh according to its specs.
 
-    An axis whose size does not divide the mesh axis falls back to
-    replication for that dimension (e.g. a vocab not divisible by
-    num_model_shards): GSPMD requires even sharding, and at serving/
-    training entry points an odd table is better replicated than
-    crashed on — but the fallback is LOUD (one warning per leaf) since
-    a replicated table defeats the point of model sharding. Production
-    tables should pad (tables.pad_vocab)."""
+    GSPMD requires even sharding. A row-sharded nn.Embed table (leaf
+    param name ``embedding``) whose vocab does not divide the mesh axis
+    is AUTO-PADDED with zero rows to ``tables.pad_vocab`` and sharded —
+    gathers never touch the pad rows (ids < the logical count), their
+    grads/adam moments stay identically zero, and the full-catalog
+    scoring paths mask or slice phantom columns (parallel/topk
+    ``valid_count``; Coach eval slices scores to Item.count). A padded
+    checkpoint round-trips within a run; loading it into an UNSHARDED
+    fresh init needs the pad rows sliced off (documented in
+    docs/PARITY.md).
+
+    Any OTHER leaf that does not divide (a Dense kernel someone
+    row-sharded by rule, a col-sharded odd feature dim) falls back to
+    replication for that dimension — LOUDLY, since silently replicating
+    a table defeats the point of model sharding."""
     from .. import utils
 
     def place(path, leaf, spec):
+        names = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+        spec_t = tuple(spec)
+        shape = np.shape(leaf)
+        if (
+            auto_pad
+            and spec_t
+            and spec_t[0] is not None
+            and names
+            and names[-1] == "embedding"
+            and len(shape) >= 1
+            and shape[0] % mesh.shape[spec_t[0]] != 0
+        ):
+            from .tables import pad_vocab
+
+            import jax.numpy as jnp
+
+            Vp = pad_vocab(shape[0], mesh.shape[spec_t[0]])
+            widths = [(0, Vp - shape[0])] + [(0, 0)] * (len(shape) - 1)
+            leaf = jnp.pad(jnp.asarray(leaf), widths)
+            utils.infoLogger(
+                f"[mesh] >>> {'/'.join(names)} vocab {shape[0]} -> {Vp} "
+                f"(auto-padded to shard rows over '{spec_t[0]}')"
+            )
+            shape = np.shape(leaf)
         fixed = tuple(
             None
-            if axis is not None and np.shape(leaf)[i] % mesh.shape[axis] != 0
+            if axis is not None and shape[i] % mesh.shape[axis] != 0
             else axis
-            for i, axis in enumerate(tuple(spec))
+            for i, axis in enumerate(spec_t)
         )
-        if fixed != tuple(spec):
-            name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        if fixed != spec_t:
             utils.warnLogger(
-                f"[mesh] >>> {name} {np.shape(leaf)} does not divide mesh "
+                f"[mesh] >>> {'/'.join(names)} {shape} does not divide mesh "
                 f"{dict(mesh.shape)} — REPLICATING instead of sharding "
                 f"(pad the vocab to a multiple, see tables.pad_vocab)"
             )

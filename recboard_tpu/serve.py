@@ -191,7 +191,26 @@ def main(argv: Optional[list] = None):
 
         mesh = mesh_lib.make_mesh(args.num_model_shards)
         specs = mesh_lib.match_partition_rules(model.partition_rules(), params)
+        logical = jax.tree.map(lambda x: np.asarray(np.shape(x)), params)
         params = mesh_lib.shard_params(mesh, params, specs)
+        if any(
+            np.shape(p) != tuple(s)
+            for p, s in zip(jax.tree.leaves(params),
+                            jax.tree.leaves(logical))
+        ):
+            # non-dividing vocabs auto-padded to shard: slice the pad
+            # rows off before every flax apply (validates shapes); the
+            # padded masters stay sharded, the slice happens in-jit at
+            # the scoring sites and once eagerly for the buffers
+            def _unpad(p, _s=logical):
+                return jax.tree.map(
+                    lambda x, s: x[: int(s[0])]
+                    if np.ndim(x) >= 1 and np.shape(x) != tuple(s) else x,
+                    p, _s,
+                )
+        else:
+            def _unpad(p):
+                return p
         n_sharded = sum(
             1 for leaf in jax.tree.leaves(params)
             if getattr(leaf.sharding, "spec", None)
@@ -202,6 +221,9 @@ def main(argv: Optional[list] = None):
             f"{dict(mesh.shape)} mesh"
             + ("" if n_sharded else " — NOTHING sharded (see warnings)")
         )
+    else:
+        def _unpad(p):
+            return p
 
     import inspect
 
@@ -218,7 +240,7 @@ def main(argv: Optional[list] = None):
         pipe.set_seed(int(cfg.get("seed", 0)))
 
     buffers = model.apply(
-        {"params": params, **stats}, method="reset_ranking_buffers"
+        {"params": _unpad(params), **stats}, method="reset_ranking_buffers"
     )
 
     # joint generative models (ETEGRec/DIGER): their constrained beam
@@ -230,7 +252,7 @@ def main(argv: Optional[list] = None):
         from .models.zoo.etegrec import ETEGRecCoach, codes_with_check_digit
 
         codes = np.asarray(
-            model.apply({"params": params, **stats}, method="current_codes")
+            model.apply({"params": _unpad(params), **stats}, method="current_codes")
         )
         full = codes_with_check_digit(codes, max_rank=model.num_codewords)
         item_code = np.concatenate(
@@ -268,10 +290,10 @@ def main(argv: Optional[list] = None):
         @jax.jit
         def score_topk(params, buffers, batch, seen_ids):
             q = model.apply(
-                {"params": params, **stats}, batch, method="encode_queries"
+                {"params": _unpad(params), **stats}, batch, method="encode_queries"
             )
             table = model.apply(
-                {"params": params, **stats}, method="item_table"
+                {"params": _unpad(params), **stats}, method="item_table"
             )
             V = table.shape[0]
             Vp = tables_lib.pad_vocab(V, n_shards)
@@ -306,10 +328,10 @@ def main(argv: Optional[list] = None):
         @jax.jit
         def score_topk(params, buffers, batch, seen_ids):
             q = model.apply(
-                {"params": params, **stats}, batch, method="encode_queries"
+                {"params": _unpad(params), **stats}, batch, method="encode_queries"
             )
             table = model.apply(
-                {"params": params, **stats}, method="item_table"
+                {"params": _unpad(params), **stats}, method="item_table"
             )
             V = table.shape[0]
             # exact unseen top-k: take k + seen-width candidates, drop
@@ -331,7 +353,7 @@ def main(argv: Optional[list] = None):
             if gen_extras:
                 batch = {**batch, **gen_extras}
             scores = model.apply(
-                {"params": params, **stats}, batch, buffers,
+                {"params": _unpad(params), **stats}, batch, buffers,
                 method="recommend_from_full",
             )
             if mask_seen:

@@ -195,12 +195,23 @@ def prepare_collab_features(ds, args):
     encode_collab_features.main(["--run", run_dir, "--output", COLLAB])
 
 
+def tok_scale(args):
+    """Scale the tokenizer address space with the catalog (the r2
+    ETEGRec lesson: 2x16 = 256 leaves suits a 300-item toy store; at a
+    Beauty-scale 12k catalog it forces ~47-way collisions and caps what
+    ANY generative model can address — the reference's own R3-VAE
+    Beauty config runs 3x256). 3x64 = 262k addresses, matching the
+    kmeans SID sizing in prepare_side_inputs."""
+    return (3, 64) if args.num_items > 2000 else (2, 16)
+
+
 def prepare_rqvae_stage_a(args, seed) -> str:
     """Per-seed stage-A tokenizer (kmeans-init RQVAE on the sweep
     features) for ETEGRec/DIGER warm starts. Returns the checkpoint
     path (cached across models within a seed)."""
     import runpy
 
+    nc, nw = tok_scale(args)
     ckpt = (f"/tmp/seed_sweep/infos/rqvae_s{seed}/{args.dataset}/0/"
             "model.safetensors")
     if os.path.isfile(ckpt):
@@ -208,7 +219,7 @@ def prepare_rqvae_stage_a(args, seed) -> str:
     sys.argv = [
         "run", "--model", "RQVAE", "--root", args.root,
         "--dataset", args.dataset, "--sem_feat_file", FEATS,
-        "--num_codewords", "16", "--num_codebooks", "2",
+        "--num_codewords", str(nw), "--num_codebooks", str(nc),
         "--codebook_dim", "16", "--hidden_dims", "32,16",
         "--epochs", "40", "--lr", "0.001", "--apply_kmeans_init", "true",
         # ETEGRec/DIGER consume RAW features (train_etegrec.py:116-121);
@@ -290,15 +301,19 @@ def run_pipeline_model(model, args, seed):
     rows are pipeline-level metrics per tokenizer)."""
     import runpy
 
+    # tokenizer capacity scales with the catalog (tok_scale): the
+    # committed toy rows keep 2x16; Beauty-scale runs get 3x64
+    nc, nw = tok_scale(args)
+    NW, NC = str(nw), str(nc)
     tok_extra = {
-        "LETTER": ["--model", "LETTER", "--num_codewords", "16",
-                   "--num_codebooks", "2", "--codebook_dim", "8",
+        "LETTER": ["--model", "LETTER", "--num_codewords", NW,
+                   "--num_codebooks", NC, "--codebook_dim", "8",
                    "--hidden_dims", "16,8", "--num_diversity_clusters", "4",
                    "--collab-feat-file", COLLAB],
-        "R3-VAE": ["--model", "R3-VAE", "--num_codewords", "16",
-                   "--num_codebooks", "2"],
-        "TIGER-RQVAE": ["--model", "RQVAE", "--num_codewords", "16",
-                        "--num_codebooks", "2", "--codebook_dim", "8",
+        "R3-VAE": ["--model", "R3-VAE", "--num_codewords", NW,
+                   "--num_codebooks", NC],
+        "TIGER-RQVAE": ["--model", "RQVAE", "--num_codewords", NW,
+                        "--num_codebooks", NC, "--codebook_dim", "8",
                         "--hidden_dims", "16,8",
                         "--apply_kmeans_init", "true"],
         # tokenizer variants (reference configs/TIGER/{rqvae_gumbel,
@@ -306,24 +321,24 @@ def run_pipeline_model(model, args, seed):
         # per-variant strategy + its distinguishing hyperparameters
         "TIGER-GUMBEL": ["--model", "RQVAE", "--strategy", "gumbel",
                          "--gumbel_temperature", "5.0",
-                         "--num_codewords", "16", "--num_codebooks", "2",
+                         "--num_codewords", NW, "--num_codebooks", NC,
                          "--codebook_dim", "8", "--hidden_dims", "16,8",
                          "--apply_kmeans_init", "true"],
         "TIGER-ROTATION": ["--model", "RQVAE", "--strategy", "rotation",
-                           "--num_codewords", "16", "--num_codebooks", "2",
+                           "--num_codewords", NW, "--num_codebooks", NC,
                            "--codebook_dim", "8", "--hidden_dims", "16,8",
                            "--apply_kmeans_init", "true"],
         "TIGER-SIMVQ": ["--model", "RQVAE", "--strategy", "simvq",
                         "--commit_weight", "1.0",
-                        "--num_codewords", "16", "--num_codebooks", "2",
+                        "--num_codewords", NW, "--num_codebooks", NC,
                         "--codebook_dim", "8", "--hidden_dims", "16,8",
                         "--apply_kmeans_init", "true"],
         "TIGER-PQVAE": ["--model", "RQVAE", "--strategy", "product",
-                        "--num_codewords", "16", "--num_codebooks", "2",
+                        "--num_codewords", NW, "--num_codebooks", NC,
                         "--codebook_dim", "8", "--hidden_dims", "16,8",
                         "--apply_kmeans_init", "true"],
         "TIGER-PQKMEANS": ["--kmeans", "product",
-                           "--num_codewords", "16", "--num_codebooks", "2"],
+                           "--num_codewords", NW, "--num_codebooks", NC],
     }[model]
     desc = "TIGER" if model.startswith("TIGER-") else model
     tok_tag = TOK_TAG[model]
@@ -351,7 +366,7 @@ def run_pipeline_model(model, args, seed):
         # single-seed processes of the SAME variant safe too
         "--log-path", f"/tmp/seed_sweep/logs_{model}/s{seed}",
         "--checkpoint-path", f"/tmp/seed_sweep/infos_{model}/s{seed}",
-    ] + tok_extra
+    ] + tok_extra + [a for a in args.pipeline_extra.split(",") if a]
     sys.argv = argv
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     buf = io.StringIO()
@@ -450,6 +465,11 @@ def main():
     ap.add_argument("--extra", default="",
                     help="comma-separated extra CLI args appended to every "
                          "run (A/B sweeps: --extra=--shared_negs,true)")
+    ap.add_argument("--pipeline-extra", default="",
+                    help="comma-separated extra args for the two-stage "
+                         "pipeline runs (tiger_pipeline.py flags, e.g. "
+                         "--pipeline-extra=--epochs,120,--batch-size,256,"
+                         "--on-device-sampling for XL runs)")
     ap.add_argument("--tag-suffix", default="",
                     help="extra comma-led tags appended to every recorded "
                          "entry's tag list (e.g. ',per_row' to store an "
@@ -651,6 +671,13 @@ def main():
                     # TIGER store bug, this time across seeds)
                     "--checkpoint-path", f"/tmp/seed_sweep/infos/s{seed}",
                 ] + MODELS.get(model, [])
+                if model in ("ETEGRec", "DIGER"):
+                    # tokenizer capacity must scale with the catalog AND
+                    # match the stage-A warm start (tok_scale; later
+                    # flags override TINY_JOINT's toy 2x16)
+                    nc_, nw_ = tok_scale(args)
+                    argv += ["--num_codewords", str(nw_),
+                             "--num_codebooks", str(nc_)]
             argv += [a for a in args.extra.split(",") if a]
             if "@RQVAE@" in argv:
                 try:
