@@ -190,7 +190,12 @@ def bench_torch(steps: int = 8, warmup: int = 2) -> float:
 # bench.py zoo keys → tools/torch_baselines.py keys (identity unless
 # listed); the reference-exact per_position HSTU compares against the
 # per-position torch step
-_TORCH_KEY = {"hstu_per_position": "hstu"}
+# both HSTU modes compare against the SAME torch baseline (the
+# reference's per-position sampled softmax, HSTU/main.py:157-201):
+# per_position is the parity comparison, per_row is what the TPU
+# framework recommends at measured 5-seed quality parity — the r4
+# artifact omitted per_row from the dict and led with the worst number
+_TORCH_KEY = {"hstu_per_position": "hstu", "hstu_per_row": "hstu"}
 
 
 def bench_zoo(steps: int):
@@ -230,8 +235,8 @@ def bench_zoo(steps: int):
         pass
     out, mfu, vs = {}, {}, {}
     for name in ("gru4rec", "hstu_per_position", "hstu_per_row", "bsarec",
-                 "bert4rec", "lightgcn", "tiger", "tiger_serve",
-                 "sasrec_serve", "etegrec"):
+                 "bert4rec", "lightgcn", "lightgcn_xl", "tiger",
+                 "tiger_serve", "sasrec_serve", "etegrec"):
         try:
             # per_position is 381 ms/step — a 60-step chunk x4 would be
             # ~90 s of bench time for one row; 12 steps still amortizes

@@ -19,7 +19,12 @@ import numpy as np
 from . import preprocessing
 from .datasets import NextItemRecDataSet, RecDataSet
 
-__all__ = ["generate_interactions", "make_synthetic_dataset", "synthetic_next_item"]
+__all__ = [
+    "generate_interactions",
+    "make_synthetic_dataset",
+    "make_synthetic_cf_dataset",
+    "synthetic_next_item",
+]
 
 
 def generate_interactions(
@@ -119,6 +124,64 @@ def make_synthetic_dataset(
         kcore4user=kcore4user,
         kcore4item=kcore4item,
         splitting=splitting,
+    )
+
+
+def make_synthetic_cf_dataset(
+    root: str,
+    name: str = "SynYelpXL_000_ROU",
+    num_users: int = 77_277,
+    num_items: int = 45_638,
+    avg_len: float = 27.0,
+    seed: int = 0,
+    group_strength: float = 0.7,
+    num_groups: int = 128,
+    kcore4user: int = 3,
+    kcore4item: int = 1,
+    splitting: str = "ROU",
+) -> str:
+    """Vectorized big-CF-graph builder (Yelp2018 shape: 77k users x
+    45.6k items x ~2.1M interactions — /root/reference/benchmark/
+    Yelp2018_10100_LOU/meta.json). `generate_interactions` walks a
+    per-interaction Python markov chain (minutes at 2M draws); graph-CF
+    benchmarking only needs realistic degree structure + a CF-learnable
+    group-affinity signal, both of which vectorize: user lengths ~
+    Poisson(avg_len), items drawn from the user's planted group w.p.
+    `group_strength` and from a Zipf popularity tail otherwise.
+    Defaults produce ~4.2M bigraph edges — the scale where the 3-hop
+    SpMM dominates the LightGCN step."""
+    rng = np.random.default_rng(seed)
+    lengths = np.maximum(rng.poisson(avg_len, size=num_users), 3)
+    E = int(lengths.sum())
+    users = np.repeat(np.arange(num_users, dtype=np.int64), lengths)
+
+    pop = 1.0 / np.arange(1, num_items + 1) ** 0.8
+    pop /= pop.sum()
+    item_group = rng.integers(0, num_groups, size=num_items)
+    order = np.argsort(item_group, kind="stable")
+    group_sizes = np.bincount(item_group, minlength=num_groups)
+    group_start = np.concatenate([[0], np.cumsum(group_sizes)[:-1]])
+    user_group = rng.integers(0, num_groups, size=num_users)
+
+    eg = user_group[users]  # per-edge group
+    from_group = (rng.random(E) < group_strength) & (group_sizes[eg] > 0)
+    pick = np.floor(rng.random(E) * np.maximum(group_sizes[eg], 1)).astype(
+        np.int64
+    )
+    items = np.where(
+        from_group,
+        order[group_start[eg] + np.minimum(pick, group_sizes[eg] - 1)],
+        rng.choice(num_items, p=pop, size=E),
+    )
+    # within-user consecutive timestamps (vectorized offset trick)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    t0 = rng.integers(0, 10_000, size=num_users)
+    timestamps = np.arange(E, dtype=np.int64) - np.repeat(starts, lengths) \
+        + np.repeat(t0, lengths)
+    ratings = np.full(E, 5.0, dtype=np.float32)
+    return preprocessing.make_dataset(
+        root, name, users, items, ratings, timestamps,
+        kcore4user=kcore4user, kcore4item=kcore4item, splitting=splitting,
     )
 
 

@@ -223,13 +223,34 @@ def _bipartite_edges():
     return np.asarray(users), np.asarray(items), U, I
 
 
-def bench_lightgcn(steps=10):
+def _yelp_edges():
+    """Yelp2018-shaped CF graph — same dataset as tpu_bench's
+    lightgcn_xl (77k x 45.6k, ~1.7M train edges → ~3.4M nnz sym adj)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from recboard_tpu.data import synthetic
+    from recboard_tpu.data.datasets import NextItemRecDataSet
+
+    synthetic.make_synthetic_cf_dataset("/tmp/recboard_tpu_bench2")
+    ds = NextItemRecDataSet("/tmp/recboard_tpu_bench2", "SynYelpXL_000_ROU")
+    users, items = ds.train().to_bigraph_edges()
+    U = ds.fields["USER", "ID"].count
+    I = ds.fields["ITEM", "ID"].count
+    return np.asarray(users), np.asarray(items), U, I
+
+
+def bench_lightgcn_xl(steps=6):
+    return bench_lightgcn(steps, edges=_yelp_edges())
+
+
+def bench_lightgcn(steps=10, edges=None):
     """LightGCN/main.py:47-49,82-84: sym-normalized sparse adjacency,
     3-hop propagation via torch.sparse.mm, layer mean, BPR."""
     import torch
     import torch.nn as nn
 
-    users, items, U, I = _bipartite_edges()
+    users, items, U, I = edges if edges is not None else _bipartite_edges()
     torch.manual_seed(0)
     B, K = 1024, 3
 
@@ -514,6 +535,7 @@ BENCHES = {
     "bert4rec": bench_bert4rec,
     "bsarec": bench_bsarec,
     "lightgcn": bench_lightgcn,
+    "lightgcn_xl": bench_lightgcn_xl,
     "hstu": bench_hstu,
     "tiger": bench_tiger,
     "tiger_serve": bench_tiger_serve,

@@ -304,6 +304,22 @@ def bench_lightgcn(ds, steps):
     return _measure(model, batch, steps)
 
 
+def _dataset_yelp():
+    """Yelp2018-shaped CF graph (77k x 45.6k, ~1.7M train edges): the
+    scale where LightGCN's 3-hop SpMM dominates the step — the 2048-user
+    bench graph measured per-step overhead, not the graph (r4 weak #2)."""
+    from recboard_tpu.data import synthetic
+    from recboard_tpu.data.datasets import NextItemRecDataSet
+
+    synthetic.make_synthetic_cf_dataset("/tmp/recboard_tpu_bench2")
+    return NextItemRecDataSet("/tmp/recboard_tpu_bench2", "SynYelpXL_000_ROU")
+
+
+def bench_lightgcn_xl(ds_unused, steps):
+    ds = _dataset_yelp()
+    return bench_lightgcn(ds, steps)
+
+
 def bench_tiger(ds, steps):
     import jax.numpy as jnp
 
@@ -510,6 +526,7 @@ BENCHES = {
     "hstu_per_position": functools.partial(bench_hstu, negs_mode="per_position"),
     "hstu_per_row": functools.partial(bench_hstu, negs_mode="per_row"),
     "lightgcn": bench_lightgcn,
+    "lightgcn_xl": bench_lightgcn_xl,
     "tiger": bench_tiger,
     "tiger_serve": bench_tiger_serve,
     "sasrec_serve": bench_sasrec_serve,
