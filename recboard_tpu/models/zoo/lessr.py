@@ -12,8 +12,12 @@ TPU-first redesign: sessions are padded to maxlen and graphs are dense
 per-session tensors — node features (B, L, D), an EOP in-neighbor
 index matrix (B, L, L-1) ordered by edge appearance (GRU runs over it
 like the reference's to_dense_batch, padding included), and a shortcut
-adjacency mask (B, L, L). Host-side construction happens in a
-`lessr_graph_` pipe transform; everything else is static-shape jnp.
+adjacency mask (B, L, L). Graph construction has two equivalent paths
+(pinned equal by tests/test_lessr_device.py): the `lessr_graph_` host
+pipe transform, and `derive_session_graphs` — the same tensors built
+IN-JIT from the padded ISeq, which lets a plain DeviceRollSeqSampler
+feed LESSR at reference scale (no per-batch host graphs over the
+tunnel). Everything else is static-shape jnp.
 BatchNorm is replaced by per-batch masked standardization (no running
 stats — noted deviation)."""
 
@@ -100,6 +104,73 @@ class LessrGraphBuilder(DataPipe):
             row[NodeMask] = tuple(bool(v) for v in node_mask.tolist())
             row[LastNode] = int(last_node)
             yield row
+
+
+def derive_session_graphs(iseq: jnp.ndarray, padding_value: int = 0):
+    """Jit-traceable equivalent of ``lessr_graph_`` — dense session
+    graph tensors computed ON DEVICE from the (left-padded) ISeq, so a
+    plain device sampler (DeviceRollSeqSampler) can feed LESSR without
+    per-batch host graph construction (the reason LESSR was toy-store
+    only through r4: the host builder made XL epochs tunnel-bound).
+
+    All O(L^2)/O(L^3-bool) intermediates are static-shape; at L=50,
+    B=256 they are <7 MB — noise next to the model's (B, L, L-1, D)
+    EOPA gather. Semantics pinned against the host builder by
+    tests/test_lessr_device.py."""
+    B, L = iseq.shape
+    rows = jnp.arange(B)[:, None]
+    valid = iseq != padding_value
+    # lpad → valid is a suffix; rotate each row so valid items form a
+    # PREFIX in original order (the host builder's seq[valid])
+    npad = (~valid).sum(-1)
+    pos = (jnp.arange(L)[None, :] + npad[:, None]) % L
+    seq = jnp.take_along_axis(iseq, pos, axis=1)
+    m = jnp.take_along_axis(valid, pos, axis=1)  # prefix True
+    k = m.sum(-1)  # session length
+
+    # node ids by first-appearance order (np.unique + stable argsort
+    # of first positions in the host builder)
+    eq = (seq[:, :, None] == seq[:, None, :]) & m[:, :, None] & m[:, None, :]
+    firstpos = jnp.argmax(eq, axis=2)  # first j with seq[j]==seq[i]
+    is_first = (firstpos == jnp.arange(L)[None, :]) & m
+    cf = jnp.cumsum(is_first, axis=1)
+    node_of = jnp.take_along_axis(cf, firstpos, axis=1) - 1  # (B, L)
+    n = cf[:, -1]
+
+    node_items = jnp.zeros((B, L), iseq.dtype).at[
+        rows, jnp.where(is_first, node_of, L)
+    ].set(seq, mode="drop")
+    node_mask = jnp.arange(L)[None, :] < n[:, None]
+    last_node = jnp.take_along_axis(
+        node_of, jnp.maximum(k - 1, 0)[:, None], axis=1
+    )[:, 0]
+
+    # EOP multigraph: edges (node_of[t] -> node_of[t+1]) in t order;
+    # per-dst in-neighbor slots = count of earlier edges to the same dst
+    src = node_of[:, :-1]
+    dst = node_of[:, 1:]
+    evalid = m[:, 1:]  # t+1 valid ⇒ t valid in the prefix layout
+    eqd = (dst[:, :, None] == dst[:, None, :]) & evalid[:, None, :]
+    tri = jnp.tril(jnp.ones((L - 1, L - 1), bool), k=-1)
+    slot = (eqd & tri[None]).sum(-1)  # (B, L-1)
+    eop_nbr = jnp.zeros((B, L, L - 1), iseq.dtype).at[
+        rows, jnp.where(evalid, dst, L), slot
+    ].set(src, mode="drop")
+    eop_deg = jnp.zeros((B, L), iseq.dtype).at[
+        rows, jnp.where(evalid, dst, L)
+    ].add(evalid.astype(iseq.dtype), mode="drop")
+
+    short = jnp.zeros((B, L, L), bool).at[
+        rows, jnp.where(evalid, dst, L), src
+    ].set(True, mode="drop")
+    return {
+        NodeItems: node_items,
+        NodeMask: node_mask,
+        EOPNbr: eop_nbr,
+        EOPDeg: eop_deg,
+        ShortMask: short,
+        LastNode: last_node,
+    }
 
 
 def _masked_standardize(x, mask, eps=1e-5):
@@ -257,7 +328,10 @@ class LESSR(SeqRecArch):
             .lprune_(maxlen, modified_fields=(self.ISeq,))
             .add_(self.NUM_PADS, modified_fields=(self.ISeq,))
             .lpad_(maxlen, modified_fields=(self.ISeq,), padding_value=self.PADDING_VALUE)
-            .lessr_graph_(maxlen, padding_value=self.PADDING_VALUE)
+            # no lessr_graph_: encode derives the graphs in-jit from
+            # ISeq (bit-identical tensors, tests/test_lessr_device.py);
+            # host graph tuples at 22k eval users were minutes of
+            # python per eval
             .batch_(batch_size)
             .tensor_()
         )
@@ -270,12 +344,17 @@ class LESSR(SeqRecArch):
             .lprune_(maxlen, modified_fields=(self.ISeq,))
             .add_(self.NUM_PADS, modified_fields=(self.ISeq,))
             .lpad_(maxlen, modified_fields=(self.ISeq,), padding_value=self.PADDING_VALUE)
-            .lessr_graph_(maxlen, padding_value=self.PADDING_VALUE)
             .batch_(batch_size)
             .tensor_()
         )
 
     def encode(self, data: Batch, deterministic: bool = True):
+        if NodeItems not in data:
+            # device-sampled batches carry only ISeq: build the session
+            # graphs in-jit (derive_session_graphs) instead of on host
+            data = {**data, **derive_session_graphs(
+                data[self.ISeq], self.PADDING_VALUE
+            )}
         node_items = data[NodeItems]
         node_mask = data[NodeMask].astype(bool)
         x = self.item_embeddings(node_items)  # (B, L, D)

@@ -324,6 +324,19 @@ def build_pipes(model, cfg):
                 pad_side="right" if rpad else "left",
                 window_includes_target=not rpad,
             )
+        elif getattr(model, "ZOO_NAME", None) == "LESSR":
+            # roll windows, lprune_ then lpad_ (LESSR trainpipe); the
+            # session graphs are derived IN-JIT from ISeq
+            # (lessr.derive_session_graphs) — no host graph builder
+            trainpipe = DeviceRollSeqSampler(
+                model.dataset,
+                maxlen=int(cfg.maxlen),
+                batch_size=int(cfg.batch_size),
+                num_pads=model.NUM_PADS,
+                pad_value=model.PADDING_VALUE,
+                pad_side="left",
+                window_includes_target=False,
+            )
         elif getattr(model, "ZOO_NAME", None) == "BERT4Rec":
             # masking is drawn in-model from the "sampling" stream
             trainpipe = DeviceFullSeqSampler(
