@@ -455,6 +455,15 @@ def main():
                          "targets 2 markov hops from the train set — "
                          "invisible to co-occurrence models (measured: "
                          "MF valid 0.024 vs test 0.003 NDCG@10)")
+    ap.add_argument("--fast-cf", action="store_true",
+                    help="build the dataset with the VECTORIZED CF-graph "
+                         "generator (synthetic.make_synthetic_cf_dataset: "
+                         "group-affinity + Zipf popularity, no markov "
+                         "chain) — the only tractable path at Yelp scale "
+                         "(77k x 45.6k x 2.1M: the per-draw markov "
+                         "generator would take hours). Uses "
+                         "--group-strength/--num-groups/--avg-len; "
+                         "ignores --markov-strength/--group-markov")
     ap.add_argument("--splitting", default="LOU", choices=("LOU", "ROU"),
                     help="second store datasets: e.g. --dataset "
                          "SynYelp_000_ROU --splitting ROU "
@@ -511,16 +520,25 @@ def main():
     from recboard_tpu.data.datasets import NextItemRecDataSet
 
     if not os.path.isdir(os.path.join(args.root, "Processed", args.dataset)):
-        synthetic.make_synthetic_dataset(
-            args.root, args.dataset, num_users=args.num_users,
-            num_items=args.num_items,
-            avg_len=args.avg_len, seed=7,
-            markov_strength=args.markov_strength,
-            group_strength=args.group_strength,
-            num_groups=args.num_groups,
-            group_markov=args.group_markov,
-            splitting=args.splitting,
-        )
+        if args.fast_cf:
+            synthetic.make_synthetic_cf_dataset(
+                args.root, args.dataset, num_users=args.num_users,
+                num_items=args.num_items, avg_len=args.avg_len, seed=7,
+                group_strength=args.group_strength,
+                num_groups=args.num_groups,
+                splitting=args.splitting,
+            )
+        else:
+            synthetic.make_synthetic_dataset(
+                args.root, args.dataset, num_users=args.num_users,
+                num_items=args.num_items,
+                avg_len=args.avg_len, seed=7,
+                markov_strength=args.markov_strength,
+                group_strength=args.group_strength,
+                num_groups=args.num_groups,
+                group_markov=args.group_markov,
+                splitting=args.splitting,
+            )
     ds = NextItemRecDataSet(args.root, args.dataset)
     if not args.no_record:
         from recboard_tpu import benchmark as B_
@@ -561,6 +579,7 @@ def main():
                 f"--num-users {args.num_users} --num-items {args.num_items} "
                 f"--avg-len {args.avg_len} --num-groups {args.num_groups}"
                 + (" --group-markov" if args.group_markov else "")
+                + (" --fast-cf" if args.fast_cf else "")
             ),
             description=(
                 f"synthetic planted-structure dataset (markov "
