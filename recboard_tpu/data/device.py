@@ -33,6 +33,7 @@ __all__ = [
     "DeviceSeqSampler",
     "DeviceGenSampler",
     "DeviceRollSeqSampler",
+    "DeviceLastTargetSampler",
     "DeviceFullSeqSampler",
     "DevicePairSampler",
 ]
@@ -441,6 +442,65 @@ class DeviceFullSeqSampler(_DeviceSamplerBase):
             collide = (negs[..., None] + 1 == window[:, None, :]).any(-1)
             batch[self.INeg] = jnp.where(collide, retry, negs).astype(jnp.int32)
         return batch
+
+
+class DeviceLastTargetSampler(_DeviceSamplerBase):
+    """ETEGRec/DIGER trainpipe on device (etegrec.py sure_trainpipe:
+    shuffled_seqs_source(maxlen+1) + seq_train_yielding_pos_(-1, -1) +
+    add_(NUM_PADS, (ISeq, IPos)) + rpad_): one row per user per epoch,
+    input = the user's last ≤maxlen train items BEFORE the final one
+    (offset, RIGHT-padded), target = the final item — ALSO offset,
+    unlike the SASRec-family pipes (the reference applies add_ to IPos
+    here because the generator embeds target ids through the same
+    padded table)."""
+
+    def __init__(self, dataset, maxlen: int, batch_size: int, num_pads: int = 1):
+        self.dataset = dataset
+        self.maxlen = maxlen
+        self.batch_size = batch_size
+        self.num_pads = num_pads
+
+        User = dataset.fields[USER, ID]
+        Item = dataset.fields[ITEM, ID]
+        self.User, self.Item = User, Item
+        self.ISeq = Item.fork(SEQUENCE)
+        self.IPos = Item.fork(POSITIVE)
+        self.num_items = Item.count
+
+        seqs = dataset.train().user_seqs()
+        W = maxlen + 1
+        packed = np.zeros((User.count, W), dtype=np.int32)  # raw+1, left-aligned
+        counts = np.zeros(User.count, dtype=np.int32)
+        for u, s in enumerate(seqs):
+            tail = list(s)[-W:]
+            packed[u, : len(tail)] = np.asarray(tail) + 1
+            counts[u] = len(tail)
+        valid_users = np.flatnonzero(counts >= 2)
+        self._packed = jnp.asarray(packed)
+        self._counts = jnp.asarray(counts)
+        self._valid_users = jnp.asarray(valid_users, jnp.int32)
+        self.steps_per_epoch = max(1, len(valid_users) // batch_size)
+
+    def prepare(self, epoch_key):
+        return jax.random.permutation(epoch_key, self._valid_users.shape[0])
+
+    def sample_prepared(self, perm, epoch_key, step_idx) -> Dict[Field, jnp.ndarray]:
+        B, L = self.batch_size, self.maxlen
+        n = self._valid_users.shape[0]
+        rows = perm[(step_idx * B + jnp.arange(B)) % n]
+        users = self._valid_users[rows]
+        window = self._packed[users]          # (B, L+1) raw+1, left-aligned
+        counts = self._counts[users]          # tail lengths (>=2)
+        # input = tail[:-1] (rpad layout already left-aligned)
+        inputs_raw = window[:, :-1]
+        pos_in_input = jnp.arange(L)[None, :] < (counts - 1)[:, None]
+        iseq = jnp.where(
+            pos_in_input, inputs_raw - 1 + self.num_pads, 0
+        ).astype(jnp.int32)
+        # target = tail[-1], OFFSET (add_ covers IPos in this pipe)
+        tgt = jnp.take_along_axis(window, (counts - 1)[:, None], axis=1)
+        ipos = (tgt - 1 + self.num_pads).astype(jnp.int32)  # (B, 1)
+        return {self.User: users, self.ISeq: iseq, self.IPos: ipos}
 
 
 class DevicePairSampler(_DeviceSamplerBase):

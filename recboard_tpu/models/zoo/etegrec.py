@@ -720,16 +720,50 @@ class ETEGRecCoach(Coach):
         self._finetuning = False
         self.save_last()
 
+    def _device_batches(self, epoch: int):
+        """Per-step batches drawn from a device sampler (the ETEGRec
+        protocol sampler, DeviceLastTargetSampler): sampling runs as
+        one small jitted program per step — no host pipe work in the
+        loop. The generic Coach scan-chunks whole epochs instead, but
+        this coach's step function switches on host-side phase state
+        and refreshes item codes between phases, so per-step dispatch
+        (~1 ms over the tunnel, ~90 steps/epoch at Beauty scale) is the
+        right trade here."""
+        pipe = self.trainpipe
+        pipe.set_seed(int(self.cfg.seed))
+        pipe.set_epoch(epoch)
+        if not hasattr(self, "_sampler_jit"):
+            self._sampler_jit = (
+                jax.jit(pipe.prepare),
+                jax.jit(pipe.sample_prepared),
+            )
+        prep_fn, sample_fn = self._sampler_jit
+        key = pipe.epoch_key()
+        prep = prep_fn(key)
+        B = int(self.cfg.batch_size)
+        for i in range(pipe.steps_per_epoch):
+            yield sample_fn(prep, key, i), B
+
     def train_per_epoch(self, epoch: int) -> None:
         from ...data.pipes import Size
 
-        for data in self.dataloader:
-            n = int(data.get(Size, 1))
-            batch = {
-                f: jnp.asarray(v)
-                for f, v in data.items()
-                if isinstance(v, (np.ndarray, jnp.ndarray)) and f != Size
-            }
+        if getattr(self.trainpipe, "is_device_sampler", False):
+            source = self._device_batches(epoch)
+        else:
+            source = (
+                (
+                    {
+                        f: jnp.asarray(v)
+                        for f, v in data.items()
+                        if isinstance(v, (np.ndarray, jnp.ndarray))
+                        and f != Size
+                    },
+                    int(data.get(Size, 1)),
+                )
+                for data in self.dataloader
+            )
+        for batch, n in source:
+            batch = dict(batch)
             self._init_state_eteg(batch)
             batch["item_code"] = jnp.asarray(self._item_code)
             # loss_of closes over (_train_id, _warmed) (static) → one

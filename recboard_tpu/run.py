@@ -324,6 +324,18 @@ def build_pipes(model, cfg):
                 pad_side="right" if rpad else "left",
                 window_includes_target=not rpad,
             )
+        elif getattr(model, "ZOO_NAME", None) in ("ETEGRec", "DIGER"):
+            from .data.device import DeviceLastTargetSampler
+
+            # per-user last-target windows with OFFSET IPos
+            # (etegrec.py sure_trainpipe); ETEGRecCoach draws per-step
+            # batches from it and attaches the current item_code
+            trainpipe = DeviceLastTargetSampler(
+                model.dataset,
+                maxlen=int(cfg.maxlen),
+                batch_size=int(cfg.batch_size),
+                num_pads=model.NUM_PADS,
+            )
         elif getattr(model, "ZOO_NAME", None) == "LESSR":
             # roll windows, lprune_ then lpad_ (LESSR trainpipe); the
             # session graphs are derived IN-JIT from ISeq

@@ -488,3 +488,29 @@ def test_caser_with_device_roll_sampler(tiny_dataset, tmp_path):
         coach.train(epoch)
     losses = [h["LOSS"] for h in coach.history["train"]]
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_device_last_target_sampler_semantics(tiny_dataset):
+    """ETEGRec protocol: input = tail[:-1] right-padded, target =
+    tail[-1]; BOTH offset by NUM_PADS (add_ covers IPos in that
+    pipe — unlike the SASRec-family pipes)."""
+    from recboard_tpu.data.device import DeviceLastTargetSampler
+
+    maxlen = 6
+    s = DeviceLastTargetSampler(
+        tiny_dataset, maxlen=maxlen, batch_size=16, num_pads=1
+    ).set_seed(0)
+    s.set_epoch(0)
+    seqs = tiny_dataset.train().user_seqs()
+    batch = jax.jit(lambda k: s.sample(k, 0))(s.epoch_key())
+    iseq = np.asarray(batch[s.ISeq])
+    ipos = np.asarray(batch[s.IPos])
+    users = np.asarray(batch[s.User])
+    assert ipos.shape == (16, 1)
+    for b in range(16):
+        tail = list(seqs[users[b]])[-(maxlen + 1):]
+        nz = iseq[b] != 0
+        k = int(nz.sum())
+        assert not nz[k:].any()  # right-padded
+        assert [x - 1 for x in iseq[b][:k]] == tail[:-1]
+        assert ipos[b, 0] - 1 == tail[-1]  # target offset too
