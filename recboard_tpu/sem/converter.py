@@ -244,6 +244,22 @@ class SemIDConverter:
 
         V = self.vocab_size
         n = len(children)
+        # fail FAST on degenerate vocabs: a collapsed tokenizer (the
+        # r5 R3-VAE stage-A at 40 epochs: 99.9% collisions) pushes
+        # thousands of check tokens into the vocab and the dense trie
+        # grows to n_nodes x vocab GBs — which then dies opaquely in
+        # the compiler upload (HTTP 413 over the axon tunnel). 200 MB
+        # of trie means the tokenizer is broken, not the trie.
+        est = n * V * (np.dtype(np.int32).itemsize + 1)
+        if est > 200 * 1024 * 1024:
+            raise ValueError(
+                f"dense SID trie would be {est / 1e9:.2f} GB "
+                f"({n} nodes x {V} tokens) — the tokenizer is "
+                f"degenerate (collision rate "
+                f"{self.collision_rate:.3f}). Train stage A to PPL "
+                "convergence (the reference runs 10k epochs with "
+                "early stopping) before building the generator."
+            )
         allowed = np.zeros((n, V), dtype=bool)
         next_node = np.full((n, V), -1, dtype=np.int32)
         for i, kids in enumerate(children):
