@@ -158,12 +158,28 @@ def main():
             trainpipe=tokenizer.sure_trainpipe(int(cfg_a.batch_size)),
             validpipe=None, testpipe=None, model=tokenizer, cfg=cfg_a,
         )
+        from recboard_tpu.launcher.coach import EarlyStopError
+
         eval_freq = max(int(cfg_a.get("eval_freq", 1)), 1)
-        for epoch in range(int(cfg_a.epochs)):
-            coach_a.train(epoch)
-            if (epoch + 1) % eval_freq == 0:
-                coach_a.evaluate(epoch, mode="valid")
-                coach_a._flush("valid", epoch)
+        try:
+            for epoch in range(int(cfg_a.epochs)):
+                coach_a.train(epoch)
+                if (epoch + 1) % eval_freq == 0:
+                    coach_a.evaluate(epoch, mode="valid")
+                    summary = coach_a._flush("valid", epoch)
+                    # track + checkpoint the best-which4best state (the
+                    # reference's tokenizer configs early-stop on PPL):
+                    # a quantizer can COLLAPSE late in training (r5: an
+                    # R3-VAE seed hit collision 1.000 on the TPU rng
+                    # stream) — the emitted vocab must come from the
+                    # best checkpoint, not whatever the last epoch left
+                    coach_a._check_best(summary, epoch)
+        except EarlyStopError as exc:
+            utils.infoLogger(f"[pipeline] >>> stage-A early stop: {exc}")
+        try:
+            coach_a.load_best()
+        except FileNotFoundError:
+            pass
         coach_a.save_sid_vocab(vocab_file)
         coach_a.save_last()  # → the joint models' rqvae_path warm start
         stage_a_ckpt = os.path.join(cfg_a.CHECKPOINT_PATH, cfg_a.SAVED_FILENAME)
