@@ -82,8 +82,16 @@ def main():
     from recboard_tpu.parser import Parser
     from recboard_tpu.sem.converter import SemIDConverter
 
-    def stage_cfg(config_file, description, extra):
-        """Compile a stage config: YAML < CLI overrides (Parser rules)."""
+    def stage_cfg(config_file, description, extra, force=None):
+        """Compile a stage config: YAML < CLI overrides (Parser rules).
+
+        ``force`` entries are appended AFTER the caller passthrough so
+        the stage keeps its own identity: the tokenizer stage MUST own
+        its description/checkpoint tree — a passthrough --description
+        (the sweep always passes one for the store file) used to
+        override it, landing stage A in stage B's infos/<desc> dir,
+        where stage-A load_best could pick up a T5 best.safetensors
+        (r5 bug: ScopeParamNotFoundError '/enc_layers_0')."""
         argv = []
         if config_file:
             argv += ["--config", config_file]
@@ -95,6 +103,9 @@ def main():
             if val is not None:
                 argv += [f"--{key}", str(val)]
         argv += list(passthrough)
+        for key, val in (force or {}).items():
+            if val is not None:
+                argv += [f"--{key}", str(val)]
         return Parser().compile(argv)
 
     # peek at the stage-B model first: a joint ETEGRec/DIGER stage B
@@ -115,8 +126,13 @@ def main():
             "quantization_strategy": args.strategy,
             "kmeans": args.kmeans,
             "normalize_features": "false" if joint_b else None,
+        },
+        force={
+            "description": "tokenizer",
             "log-path": os.path.join(args.out, "tokenizer"),
             "checkpoint-path": os.path.join(args.out, "tokenizer_ckpt"),
+            # the sweep's stage-B store identity must not leak in
+            "record-benchmark": "false",
         },
     )
     ds = NextItemRecDataSet(args.root, cfg_a.dataset)
